@@ -1,0 +1,24 @@
+"""Test configuration: run everything on an 8-device virtual CPU mesh.
+
+Multi-device sharding tests run against 8 virtual CPU devices
+(``xla_force_host_platform_device_count``), mirroring how the driver
+validates the multi-chip path without real chips.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
