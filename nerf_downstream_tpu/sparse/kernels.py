@@ -1,0 +1,194 @@
+"""Coordinate-set algebra: striding, dedup, kernel maps, field<->sparse.
+
+This is the TPU-native replacement for MinkowskiEngine's CoordinateManager
+(``kernel_map`` / ``stride`` — reference usage at
+co3d_3d/src/models/mink/modules/sparse_conv.py:90-96,398-405):
+
+- ``stride_coords``: downsample a coordinate set (unique of floor-to-stride),
+  implemented as sort + first-occurrence scatter under a fixed capacity.
+- ``build_kernel_map``: for each output voxel and each kernel offset, the
+  input row holding its neighbor (or a sentinel) — one exact binary search
+  over packed keys per (offset, output) pair. The resulting dense
+  ``int32[K, N_out]`` table drives gather→MXU-matmul→accumulate convolution.
+- ``field_to_sparse`` / ``sparse_to_field``: quantization with duplicate
+  averaging and the inverse gather (ME ``TensorField.sparse()`` /
+  ``SparseTensor.slice()``, res16unet.py:392,435).
+
+All results have static shapes; "missing" entries are index ``N`` pointing at
+a zero sentinel row appended by consumers.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_downstream_tpu.sparse import packing
+from nerf_downstream_tpu.sparse.types import PointField, SparseVoxels
+
+
+def kernel_offsets(
+    kernel_size: int | tuple[int, int, int],
+    tensor_stride: int,
+    dilation: int = 1,
+) -> np.ndarray:
+    """Integer kernel offsets in finest-voxel units, ME region convention.
+
+    Odd kernels are centered on the output coordinate; even kernels span
+    ``0..k-1`` from it (MinkowskiEngine KernelGenerator semantics). Offsets
+    are scaled by the *input* tensor stride times dilation.
+    """
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size,) * 3
+    axes = []
+    for k in kernel_size:
+        if k % 2 == 1:
+            r = np.arange(-(k // 2), k // 2 + 1)
+        else:
+            r = np.arange(0, k)
+        axes.append(r * tensor_stride * dilation)
+    # z fastest (ME iterates x slowest); order only matters for weight layout
+    # consistency between save/load, so fix it here once.
+    offs = np.array(
+        [(x, y, z) for x, y, z in itertools.product(*axes)], dtype=np.int32
+    )
+    return offs
+
+
+def stride_coords(sv: SparseVoxels, stride: int) -> SparseVoxels:
+    """Coordinate-set downsampling: unique(floor(coords / s) * s).
+
+    Returns a SparseVoxels with the same capacity, features all-zero (the
+    caller computes them), coordinates at tensor stride ``sv.stride*stride``.
+    """
+    new_stride = sv.stride * stride
+    xyz = (sv.coords[:, 1:] // new_stride) * new_stride
+    coords = jnp.concatenate([sv.coords[:, :1], xyz], axis=1)
+    uniq_coords, uniq_mask, _ = unique_coords(coords, sv.mask)
+    return SparseVoxels(
+        coords=uniq_coords,
+        feats=jnp.zeros((sv.capacity, 0), sv.feats.dtype),
+        mask=uniq_mask,
+        stride=new_stride,
+    )
+
+
+def unique_coords(coords, mask):
+    """Deduplicate a coordinate set under a static capacity.
+
+    Returns (out_coords [N,4], out_mask [N], row_to_unique [N]) where
+    ``row_to_unique[i]`` is the output slot holding row i's coordinate (valid
+    only where ``mask``). Unique entries are packed at the front in key order.
+    """
+    n = coords.shape[0]
+    hi, lo = packing.pack(coords, mask)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = packing.sort_with_payload(hi, lo, idx)
+    s_valid = s_hi != packing.INVALID_KEY
+    first = packing.unique_first_occurrence(s_hi, s_lo, s_valid)
+    # output slot for each sorted row (duplicates share their first row's slot)
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_unique = jnp.sum(first.astype(jnp.int32))
+    slot = jnp.where(s_valid, slot, n - 1)  # clamp padding (masked out below)
+    out_mask = idx < num_unique
+    # scatter first-occurrence coords into their slots; non-first rows are
+    # routed to index n and dropped
+    src_coords = coords[s_idx]
+    scatter_to = jnp.where(first, slot, n)
+    out_coords = (
+        jnp.zeros((n + 1, 4), coords.dtype)
+        .at[scatter_to]
+        .set(src_coords, mode="drop")[:n]
+    )
+    # map original row -> unique slot
+    row_to_unique = (
+        jnp.zeros((n,), jnp.int32).at[s_idx].set(slot.astype(jnp.int32))
+    )
+    return out_coords, out_mask, row_to_unique
+
+
+def build_kernel_map(
+    in_coords: jax.Array,
+    in_mask: jax.Array,
+    out_coords: jax.Array,
+    out_mask: jax.Array,
+    offsets: np.ndarray,
+    transpose: bool = False,
+) -> jax.Array:
+    """Neighbor index table int32[K, N_out]; missing entries = N_in.
+
+    For a forward conv the input neighbor of output voxel ``o`` at offset
+    ``d`` sits at ``o + d``. For a transposed conv (decoder onto cached
+    coords) the adjoint relation is ``o - d``
+    (reference conv_tr: sparse_conv.py:427-560; ME ConvolutionTranspose).
+    """
+    n_in = in_coords.shape[0]
+    hi, lo = packing.pack(in_coords, in_mask)
+    idx = jnp.arange(n_in, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = packing.sort_with_payload(hi, lo, idx)
+
+    offs = jnp.asarray(offsets, jnp.int32)  # [K, 3]
+    if transpose:
+        offs = -offs
+    # queries: [K, N_out, 4]
+    q_xyz = out_coords[None, :, 1:] + offs[:, None, :]
+    q = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                out_coords[None, :, :1], q_xyz.shape[:2] + (1,)
+            ),
+            q_xyz,
+        ],
+        axis=-1,
+    )
+    q_flat = q.reshape(-1, 4)
+    q_mask = jnp.broadcast_to(out_mask[None, :], q.shape[:2]).reshape(-1)
+    q_hi, q_lo = packing.pack(q_flat, q_mask)
+    pos = packing.find(s_hi, s_lo, q_hi, q_lo, missing=n_in)
+    # translate sorted position -> original input row; sentinel stays N_in
+    s_idx_ext = jnp.concatenate([s_idx, jnp.array([n_in], jnp.int32)])
+    rows = s_idx_ext[pos]
+    return rows.reshape(offs.shape[0], out_coords.shape[0])
+
+
+def field_to_sparse(field: PointField, voxel_size: float = 1.0):
+    """Quantize a PointField into SparseVoxels, averaging duplicate points.
+
+    Returns (SparseVoxels, point_to_voxel int32[N]) — the inverse map used by
+    ``sparse_to_field``.
+    """
+    n = field.capacity
+    vox = jnp.floor(field.coords[:, 1:] / voxel_size).astype(jnp.int32)
+    coords = jnp.concatenate(
+        [field.coords[:, :1].astype(jnp.int32), vox], axis=1
+    )
+    uniq_coords, uniq_mask, row_to_unique = unique_coords(coords, field.mask)
+    # average features per voxel
+    seg = jnp.where(field.mask, row_to_unique, n)
+    sums = jax.ops.segment_sum(
+        jnp.where(field.mask[:, None], field.feats, 0), seg, num_segments=n + 1
+    )[:n]
+    counts = jax.ops.segment_sum(
+        field.mask.astype(field.feats.dtype), seg, num_segments=n + 1
+    )[:n]
+    feats = sums / jnp.maximum(counts, 1)[:, None]
+    sv = SparseVoxels(
+        coords=uniq_coords, feats=feats, mask=uniq_mask, stride=1
+    )
+    return sv, row_to_unique
+
+
+def sparse_to_field(
+    sv: SparseVoxels, field: PointField, point_to_voxel: jax.Array
+) -> PointField:
+    """Gather voxel features back onto the original points (``.slice()``)."""
+    feats_ext = jnp.concatenate(
+        [sv.feats, jnp.zeros((1, sv.feats.shape[1]), sv.feats.dtype)]
+    )
+    idx = jnp.where(field.mask, point_to_voxel, sv.capacity)
+    return PointField(
+        coords=field.coords, feats=feats_ext[idx], mask=field.mask
+    )

@@ -7,8 +7,10 @@ validates the multi-chip path without real chips.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU: the session env may
+# point JAX_PLATFORMS at the remote TPU tunnel, which would send every tiny
+# test op over TCP.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
