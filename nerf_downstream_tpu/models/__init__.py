@@ -1,0 +1,64 @@
+"""Model registry.
+
+The reference's registry resolves model classes from ``globals()`` with a
+dead ``MODELS`` dict (src/models/__init__.py:15-20 — noted bug); here it is
+an explicit table. ``get_model`` is gin-configurable with the same parameter
+names (name, in_channel, out_channel, sparse) so all reference configs bind
+unchanged.
+"""
+
+from __future__ import annotations
+
+from nerf_downstream_tpu import config as cfg
+
+
+def _build(name: str, in_channel: int, out_channel: int, sparse, kwargs):
+    from nerf_downstream_tpu.models.mink import res16unet, resnet
+
+    if name in resnet._VARIANTS:
+        return resnet.make_resnet(name, out_channel, **kwargs)
+    if name in res16unet.VARIANTS or name == "Res16UNet":
+        if name == "Res16UNet":
+            return res16unet.Res16UNet(out_channel=out_channel, **kwargs)
+        return res16unet.make_res16unet(name, out_channel, **kwargs)
+    if name in ("MinkowskiFCNN", "MinkowskiSplatFCNN"):
+        from nerf_downstream_tpu.models.mink import fcnn
+
+        return fcnn.make_fcnn(name, in_channel, out_channel, **kwargs)
+    if name in ("MinkowskiPointNet", "PointNet"):
+        from nerf_downstream_tpu.models.mink import pointnet
+
+        return pointnet.make_pointnet(name, in_channel, out_channel, **kwargs)
+    if name in ("DGCNN_cls", "DGCNN_semseg", "DGCNN"):
+        from nerf_downstream_tpu.models.mink import dgcnn
+
+        return dgcnn.make_dgcnn(name, in_channel, out_channel, **kwargs)
+    if name in ("ResUNet2", "ResUNetBN2", "ResUNetBN2B", "ResUNetBN2C",
+                "ResUNetBN2D", "ResUNetBN2E", "ResUNetIN2", "ResUNetIN2B",
+                "ResUNetIN2C", "ResUNetIN2D", "ResUNetIN2E",
+                "ResUNet14", "ResUNet18", "ResUNet34"):
+        from nerf_downstream_tpu.models.mink import resunet
+
+        return resunet.make_resunet(name, in_channel, out_channel, **kwargs)
+    if name in ("PAConvPointNet", "PAConvDGCNN"):
+        from nerf_downstream_tpu.models import paconv
+
+        return paconv.make_paconv(name, in_channel, out_channel, **kwargs)
+    raise ValueError(f"unknown model {name!r}")
+
+
+@cfg.configurable("get_model")
+def get_model(
+    name: str = "ResNet14",
+    in_channel: int = 3,
+    out_channel: int = 20,
+    sparse=None,
+    **kwargs,
+):
+    """Build a model by registry name (reference src/models/__init__.py:18-20).
+
+    ``in_channel`` is accepted for config parity (JAX infers input width at
+    init); ``sparse`` is the 9-slot per-stage sparse-conv mode list used by
+    the pruning/eval path.
+    """
+    return _build(name, in_channel, out_channel, sparse, kwargs)

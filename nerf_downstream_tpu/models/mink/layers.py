@@ -1,0 +1,304 @@
+"""Flax layers over SparseVoxels: conv, conv-transpose, norms, nonlinearities.
+
+Functional re-design of the reference's conv/norm factory layer
+(co3d_3d/src/models/mink/modules/common.py:22-204). A layer takes a
+``SparseVoxels`` plus a ``CoordinateContext`` (the per-forward kernel-map
+cache) and returns a new ``SparseVoxels``; parameters live in flax
+collections, statistics in ``batch_stats``.
+
+SyncBatchNorm note: under ``pjit``/GSPMD the masked statistics are global
+sums, so cross-replica BN is automatic; ``axis_name`` exists for
+``shard_map``/``pmap`` uses (reference's explicit SyncBN conversion:
+co3d_3d/train.py:106-107).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerf_downstream_tpu.ops.norm import (
+    batch_norm_apply,
+    instance_norm_stats,
+    layer_norm,
+    masked_mean_var,
+)
+from nerf_downstream_tpu.ops.pool import global_pool, window_pool
+from nerf_downstream_tpu.ops.sparse_conv import sparse_conv_apply
+from nerf_downstream_tpu.sparse import kernel_offsets
+from nerf_downstream_tpu.sparse.context import CoordinateContext
+from nerf_downstream_tpu.sparse.types import SparseVoxels
+
+
+def _kaiming_conv_init(key, shape, dtype=jnp.float32):
+    """He-normal over fan_in = K * Cin (ME kaiming kernel init)."""
+    k, cin, cout = shape
+    std = (2.0 / (k * cin)) ** 0.5
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class SparseConv(nn.Module):
+    """Sparse convolution. stride>1 emits a strided coordinate set."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, sv: SparseVoxels, ctx: CoordinateContext
+    ) -> SparseVoxels:
+        cin = sv.num_channels
+        if self.kernel_size == 1 and self.stride == 1:
+            w = self.param("kernel", _kaiming_conv_init, (1, cin, self.out_channels))
+            out_f = jnp.dot(
+                sv.masked_feats().astype(self.compute_dtype),
+                w[0].astype(self.compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if self.use_bias:
+                out_f = out_f + self.param(
+                    "bias", nn.initializers.zeros, (self.out_channels,)
+                )
+            return sv.replace(feats=out_f)
+
+        offs = kernel_offsets(self.kernel_size, sv.stride, self.dilation)
+        if self.stride > 1:
+            out_sv = ctx.strided(sv, self.stride)
+        else:
+            out_sv = sv
+        km = ctx.kernel_map(
+            sv.coords, sv.mask, out_sv.coords, out_sv.mask, offs
+        )
+        w = self.param(
+            "kernel", _kaiming_conv_init, (len(offs), cin, self.out_channels)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        out_f = sparse_conv_apply(
+            sv.feats, km, w, b, compute_dtype=self.compute_dtype
+        )
+        return SparseVoxels(
+            coords=out_sv.coords,
+            feats=out_f,
+            mask=out_sv.mask,
+            stride=out_sv.stride,
+        )
+
+
+class SparseConvTranspose(nn.Module):
+    """Transposed conv onto an existing (cached) finer coordinate set.
+
+    The reference's conv_tr relies on ME's coordinate manager to find the
+    finer map (common.py:128-180); here the decoder passes the encoder's
+    pyramid level explicitly as ``target``.
+    """
+
+    out_channels: int
+    kernel_size: int = 2
+    upsample_stride: int = 2
+    dilation: int = 1
+    use_bias: bool = False
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, sv: SparseVoxels, ctx: CoordinateContext, target: SparseVoxels
+    ) -> SparseVoxels:
+        cin = sv.num_channels
+        # offsets are in units of the *finer* (output) tensor stride —
+        # the adjoint of the forward conv that produced ``sv`` from ``target``.
+        offs = kernel_offsets(
+            self.kernel_size, target.stride, self.dilation
+        )
+        km = ctx.kernel_map(
+            sv.coords,
+            sv.mask,
+            target.coords,
+            target.mask,
+            offs,
+            transpose=True,
+        )
+        w = self.param(
+            "kernel", _kaiming_conv_init, (len(offs), cin, self.out_channels)
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            if self.use_bias
+            else None
+        )
+        out_f = sparse_conv_apply(
+            sv.feats, km, w, b, compute_dtype=self.compute_dtype
+        )
+        return SparseVoxels(
+            coords=target.coords,
+            feats=out_f,
+            mask=target.mask,
+            stride=target.stride,
+        )
+
+
+class SparsePool(nn.Module):
+    """Strided window pooling (sum/avg/max), e.g. the ResNet stem's
+    SumPooling(kernel=2, stride=2) (reference resnet.py:62-64)."""
+
+    kernel_size: int = 2
+    stride: int = 2
+    mode: str = "sum"
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, ctx: CoordinateContext) -> SparseVoxels:
+        offs = kernel_offsets(self.kernel_size, sv.stride)
+        out_sv = ctx.strided(sv, self.stride) if self.stride > 1 else sv
+        km = ctx.kernel_map(
+            sv.coords, sv.mask, out_sv.coords, out_sv.mask, offs
+        )
+        out_f = window_pool(sv.masked_feats(), km, self.mode)
+        return SparseVoxels(
+            coords=out_sv.coords,
+            feats=out_f,
+            mask=out_sv.mask,
+            stride=out_sv.stride,
+        )
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows with running statistics.
+
+    momentum follows torch convention (0.1 = weight of the new batch,
+    reference bn_momentum default common.py:22)."""
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, train: bool) -> SparseVoxels:
+        c = sv.num_channels
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            mean, var = masked_mean_var(sv.feats, sv.mask, self.axis_name)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        out = batch_norm_apply(sv.feats, mean, var, scale, bias, self.eps)
+        return sv.replace(feats=out)
+
+
+class MinkLayerNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, train: bool = False) -> SparseVoxels:
+        c = sv.num_channels
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return sv.replace(feats=layer_norm(sv.feats, scale, bias, self.eps))
+
+
+class MinkInstanceNorm(nn.Module):
+    """Per-sample norm (ME.MinkowskiInstanceNorm). Needs the static batch
+    count; stored as a module field."""
+
+    num_batches: int = 1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels, train: bool = False) -> SparseVoxels:
+        c = sv.num_channels
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        bid = sv.batch_ids(self.num_batches)
+        mean, var = instance_norm_stats(sv.feats, bid, self.num_batches)
+        f = (sv.feats.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.eps
+        )
+        return sv.replace(feats=(f * scale + bias).astype(sv.feats.dtype))
+
+
+NONLINEARITIES: dict[str, Callable] = {
+    "ReLU": jax.nn.relu,
+    "MinkowskiReLU": jax.nn.relu,
+    "LeakyReLU": lambda x: jax.nn.leaky_relu(x, 0.01),
+    "MinkowskiLeakyReLU": lambda x: jax.nn.leaky_relu(x, 0.01),
+    "ELU": jax.nn.elu,
+    "MinkowskiELU": jax.nn.elu,
+    "GELU": jax.nn.gelu,
+    "MinkowskiGELU": jax.nn.gelu,
+    "SiLU": jax.nn.silu,
+    "MinkowskiSiLU": jax.nn.silu,
+    "Tanh": jnp.tanh,
+    "Sigmoid": jax.nn.sigmoid,
+}
+
+
+def get_nonlinearity(name: str) -> Callable:
+    """Registry mirroring common.py:35-70."""
+    if name not in NONLINEARITIES:
+        raise ValueError(f"unknown nonlinearity {name!r}")
+    fn = NONLINEARITIES[name]
+
+    def apply(sv: SparseVoxels) -> SparseVoxels:
+        return sv.replace(feats=fn(sv.feats))
+
+    return apply
+
+
+def make_norm(
+    norm_type: str,
+    *,
+    bn_momentum: float = 0.1,
+    num_batches: int = 1,
+    axis_name: str | None = None,
+) -> nn.Module:
+    """Norm factory mirroring get_norm (common.py:22-32): BN/IN/LN(/PN)."""
+    if norm_type == "BN":
+        return MaskedBatchNorm(momentum=bn_momentum, axis_name=axis_name)
+    if norm_type == "IN":
+        return MinkInstanceNorm(num_batches=num_batches)
+    if norm_type == "LN":
+        return MinkLayerNorm()
+    if norm_type == "PN":
+        from nerf_downstream_tpu.models.mink.powernorm import MinkPowerNorm
+
+        return MinkPowerNorm()
+    raise ValueError(f"unknown norm type {norm_type!r}")
+
+
+class GlobalPool(nn.Module):
+    """Global pooling to dense [B, C] (ME GlobalAvg/MaxPooling)."""
+
+    mode: str = "avg"
+    num_batches: int = 1
+
+    @nn.compact
+    def __call__(self, sv: SparseVoxels) -> jax.Array:
+        return global_pool(
+            sv.masked_feats(), sv.batch_ids(self.num_batches),
+            self.num_batches, self.mode,
+        )
+
+
+def cat(a: SparseVoxels, b: SparseVoxels) -> SparseVoxels:
+    """Feature concat of two tensors on the same coordinate set (me.cat,
+    used for UNet skip connections res16unet.py:409-424)."""
+    return a.replace(feats=jnp.concatenate([a.feats, b.feats], axis=-1))
