@@ -1,0 +1,349 @@
+"""Task modules: the JAX re-design of the reference's LightningModules.
+
+Reference contract (co3d_3d/src/modules/):
+- ``BaseModule`` (lightning_module_base.py:13-124): stores hyperparameters,
+  wires optimizer+scheduler, implements the three checkpoint-load modes
+  (load_weights / load_optimizers with LR override / transfer_self_supervised
+  key rewrite).
+- ``SegmentationTraining`` (segmentation_training.py): weighted CE with
+  ignore_index + optional void-class weight, OA/mIoU step metrics, IoUMeter
+  epoch metrics, per-class IoU table, eval_results.json.
+- ``ClassificationTraining`` (classification_training.py): CE, top-1/top-5.
+
+TPU-native shape: a task builds *pure jitted step functions* over a
+TrainState; the trainer owns the loop. Under pjit the global masked-mean
+loss already weights every point equally across shards, which is exactly
+what the reference's ``use_sync_grad`` point-count rescale reconstructs on
+top of DDP's per-rank mean (segmentation_training.py:112-120) — so the flag
+is accepted and the semantics hold by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_downstream_tpu import config as cfg
+from nerf_downstream_tpu.models.interface import process_input
+from nerf_downstream_tpu.train import metrics as M
+from nerf_downstream_tpu.train.optim import get_optimizer, get_scheduler
+from nerf_downstream_tpu.train.state import TrainState
+
+
+class BaseTask:
+    def __init__(
+        self,
+        model,
+        optimizer_name: str = "SGD",
+        scheduler_name: str = "PolyLR",
+        lr: float = 1e-3,
+        weight_decay: float = 1e-5,
+        warmup_steps: int = -1,
+        ignore_label: int = -100,
+        void_weight: Optional[float] = None,
+        log_every_n_steps: int = 10,
+        reset_profiler_every_n_steps: int = 1000,
+        load_weights: bool = False,
+        load_optimizers: bool = False,
+        transfer_self_supervised: bool = False,
+        checkpoint_path: Optional[str] = None,
+        export_path: Optional[str] = None,
+        debug: bool = False,
+        use_sync_grad: bool = False,
+        datamodule=None,
+        scheduler_interval: str = "step",
+        save_pred: bool = False,
+        save_pred_path: Optional[str] = None,
+    ):
+        # mirror BaseModule's store-everything ctor
+        for name, value in list(vars().items()):
+            if name not in ("self", "__class__"):
+                setattr(self, name, value)
+        if load_weights or load_optimizers:
+            assert checkpoint_path is not None
+        self.schedule = None
+        if scheduler_name.lower() != "none":
+            self.schedule = get_scheduler(
+                scheduler_name, lr, warmup_steps if warmup_steps > 0 else None
+            )
+
+    # -- optimizer / state ---------------------------------------------------
+
+    def make_tx(self):
+        lr = self.schedule if self.schedule is not None else self.lr
+        return get_optimizer(self.optimizer_name, lr, self.weight_decay)
+
+    def create_state(self, rng, example_batch) -> TrainState:
+        field = process_input(example_batch)
+        variables = self.model.init(rng, field, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        tx = self.make_tx()
+        state = TrainState.create(self.model.apply, params, batch_stats, tx)
+        state = self._maybe_load_checkpoint(state)
+        return state
+
+    def _maybe_load_checkpoint(self, state: TrainState) -> TrainState:
+        if self.checkpoint_path is None:
+            return state
+        from nerf_downstream_tpu.train import checkpoints
+
+        ckpt = checkpoints.load_checkpoint(self.checkpoint_path)
+        if self.load_weights:
+            if self.transfer_self_supervised:
+                params, batch_stats = checkpoints.convert_self_supervised(
+                    ckpt["params"], ckpt["batch_stats"],
+                    state.params, state.batch_stats,
+                )
+                state = state.replace(params=params, batch_stats=batch_stats)
+            else:
+                state = checkpoints.restore_into(state, ckpt, weights=True)
+            logging.info(f"Loaded model weights from {self.checkpoint_path}")
+        if self.load_optimizers:
+            # LR schedule restarts from the new run's LR by construction
+            # (the schedule is part of tx, not of the loaded state) —
+            # reference lightning_module_base.py:96-104.
+            state = checkpoints.restore_into(
+                state, ckpt, weights=False, optimizer=True
+            )
+            logging.info(
+                f"Loaded optimizer parameters from {self.checkpoint_path}"
+            )
+        return state
+
+    def current_lr(self, step) -> float:
+        if self.schedule is None:
+            return float(self.lr)
+        return float(self.schedule(step))
+
+    # -- steps ---------------------------------------------------------------
+
+    def loss_and_metrics(self, logits, batch):
+        raise NotImplementedError
+
+    def _apply(self, params, batch_stats, batch, train: bool):
+        field = process_input(batch)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mut = self.model.apply(
+                variables, field, train=True, mutable=["batch_stats"]
+            )
+            return out, mut["batch_stats"]
+        out = self.model.apply(variables, field, train=False)
+        return out, batch_stats
+
+    def make_train_step(self, donate: bool = True):
+        def train_step(state: TrainState, batch):
+            def loss_fn(params):
+                logits, new_stats = self._apply(
+                    params, state.batch_stats, batch, train=True
+                )
+                loss, mets = self.loss_and_metrics(logits, batch)
+                return loss, (new_stats, mets)
+
+            (loss, (new_stats, mets)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+            mets = dict(mets, loss=loss)
+            return new_state, mets
+
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    def make_eval_step(self):
+        def eval_step(state: TrainState, batch):
+            logits, _ = self._apply(
+                state.params, state.batch_stats, batch, train=False
+            )
+            loss, mets = self.loss_and_metrics(logits, batch)
+            return logits, dict(mets, loss=loss)
+
+        return jax.jit(eval_step)
+
+    # epoch-level aggregation hooks (trainer calls these)
+    def on_validation_start(self):
+        pass
+
+    def validation_batch_end(self, logits, batch):
+        pass
+
+    def validation_epoch_end(self, step_results: list, root_dir: str) -> dict:
+        raise NotImplementedError
+
+
+def _weighted_ce(logits, labels, valid, class_weight):
+    """torch-style weighted cross entropy: sum(w_y * nll) / sum(w_y)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    c = logits.shape[-1]
+    lab = jnp.clip(labels, 0, c - 1)
+    nll = -jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
+    w = class_weight[lab] * valid.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+@cfg.configurable("SegmentationTraining")
+class SegmentationTraining(BaseTask):
+    """Per-point segmentation (reference segmentation_training.py:47-228)."""
+
+    def __init__(self, model, **kwargs):
+        super().__init__(model, **kwargs)
+        self.num_labels = cfg.query_parameter(
+            "get_model.out_channel", default=model.out_channel
+        )
+        self.void_label = cfg.query_parameter(
+            "PlenoxelScannetDataset.void_label", default=None
+        )
+        w = np.ones(self.num_labels, np.float32)
+        if self.void_weight is not None and self.void_weight > 0:
+            w[-1] = self.void_weight
+        self.class_weight = jnp.asarray(w)
+        self.iou_state = M.IoUMeterState.create(self.num_labels)
+        self.best_miou = -1.0
+
+    def loss_and_metrics(self, logits, batch):
+        labels = jnp.asarray(batch["labels"], jnp.int32)
+        mask = jnp.asarray(batch["mask"], bool)
+        valid = mask & (labels != self.ignore_label)
+        loss = _weighted_ce(logits, labels, valid, self.class_weight)
+        pred = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((pred == labels) & valid)
+        oa = 100.0 * correct / jnp.maximum(jnp.sum(valid), 1)
+        hist = M.fast_hist(
+            jnp.where(valid, pred, self.num_labels + 1),
+            jnp.where(valid, labels, self.num_labels + 1),
+            self.num_labels,
+        )
+        ious = M.per_class_iu(hist) * 100
+        ignore_ratio = (
+            100.0
+            * jnp.sum(mask & (labels == self.ignore_label))
+            / jnp.maximum(jnp.sum(mask), 1)
+        )
+        return loss, {
+            "OA": oa,
+            "mIoU": jnp.mean(ious),
+            "ignore_ratio": ignore_ratio,
+        }
+
+    def on_validation_start(self):
+        self.iou_state = M.IoUMeterState.create(self.num_labels)
+
+    def validation_batch_end(self, logits, batch):
+        labels = jnp.asarray(batch["labels"], jnp.int32)
+        mask = jnp.asarray(batch["mask"], bool)
+        valid = mask & (labels != self.ignore_label)
+        pred = jnp.argmax(logits, axis=-1)
+        self.iou_state = M.iou_update(
+            self.iou_state, pred, labels, valid, self.num_labels
+        )
+
+    def validation_epoch_end(self, step_results, root_dir):
+        assert len(step_results) > 0
+        out = {}
+        for k in ["OA", "loss", "iter_time", "flops"]:
+            vals = [r[k] for r in step_results if k in r]
+            if vals:
+                out[f"val/{k}"] = float(np.mean(vals))
+        res = M.iou_compute(self.iou_state, void_label=self.void_label)
+        from nerf_downstream_tpu.data.scannet import CLASS_LABELS
+
+        labels = list(CLASS_LABELS[: self.num_labels])
+        while len(labels) < self.num_labels:
+            labels.append(f"class{len(labels)}")
+        argsort = np.argsort(labels)
+        class_labels = np.array(labels)[argsort]
+        ious = res["iou_per_class"][argsort] * 100
+        accs = res["acc_per_class"][argsort] * 100
+        print(" & ".join(class_labels))
+        print(" & ".join(f"{i:.1f}" for i in ious))
+        print(" & ".join(class_labels))
+        print(" & ".join(f"{a:.1f}" for a in accs))
+        print(f"miou: {res['mIoU']}")
+        print(f"macc: {res['mAcc']}")
+        result_dict = dict(
+            labels=class_labels.tolist(),
+            iou=[*ious.tolist(), res["mIoU"]],
+            acc=[*accs.tolist(), res["mAcc"]],
+        )
+        if root_dir:
+            with open(os.path.join(root_dir, "eval_results.json"), "w") as f:
+                json.dump(result_dict, f)
+        out["val/mIoU"] = res["mIoU"] * 100
+        out["val/mAcc"] = res["mAcc"] * 100
+        if out["val/mIoU"] > self.best_miou:
+            self.best_miou = out["val/mIoU"]
+        out["val/best_mIoU"] = self.best_miou
+        return out
+
+
+@cfg.configurable("ClassificationTraining")
+class ClassificationTraining(BaseTask):
+    """Whole-sample classification (reference classification_training.py)."""
+
+    def __init__(self, model, **kwargs):
+        super().__init__(model, **kwargs)
+        self.num_classes = cfg.query_parameter(
+            "get_model.out_channel", default=model.out_channel
+        )
+        self._val_correct1 = 0
+        self._val_correct5 = 0
+        self._val_count = 0
+
+    def loss_and_metrics(self, logits, batch):
+        labels = jnp.asarray(batch["labels"], jnp.int32)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        loss = jnp.mean(nll)
+        accs = M.topk_accuracy(logits, labels, ks=(1, 5))
+        return loss, accs
+
+    def on_validation_start(self):
+        self._val_correct1 = 0
+        self._val_correct5 = 0
+        self._val_count = 0
+
+    def validation_batch_end(self, logits, batch):
+        labels = np.asarray(batch["labels"])
+        lg = np.asarray(logits)
+        order = np.argsort(-lg, axis=-1)
+        self._val_correct1 += int((order[:, 0] == labels).sum())
+        self._val_correct5 += int(
+            (order[:, :5] == labels[:, None]).any(-1).sum()
+        )
+        self._val_count += len(labels)
+
+    def validation_epoch_end(self, step_results, root_dir):
+        assert len(step_results) > 0
+        n = max(self._val_count, 1)
+        out = {
+            "val/acc1": 100.0 * self._val_correct1 / n,
+            "val/acc5": 100.0 * self._val_correct5 / n,
+            "val/loss": float(
+                np.mean([r["loss"] for r in step_results if "loss" in r])
+            ),
+        }
+        return out
+
+
+MODULES = {
+    "SegmentationTraining": SegmentationTraining,
+    "ClassificationTraining": ClassificationTraining,
+}
+
+
+def get_training_module(name: str):
+    """reference src/modules/__init__.py:13-17."""
+    # ExceptionSafe variant maps to the standard one: XLA static shapes make
+    # the reference's per-step sparse-OOM catching (segmentation_training.py:
+    # 231-328) structurally unnecessary — memory is fixed at compile time.
+    if name == "ExceptionSafeSegmentationTraining":
+        name = "SegmentationTraining"
+    if name not in MODULES:
+        raise ValueError(f"unknown training module {name!r}")
+    return MODULES[name]
