@@ -119,11 +119,68 @@ def configurable(fn_or_name=None, *, name: str | None = None, denylist=()):
     """Decorator mirroring ``gin.configurable``.
 
     Bound parameters are injected as keyword defaults at call time; arguments
-    passed explicitly by the caller always win (gin semantics).
+    passed explicitly by the caller always win (gin semantics). Classes stay
+    classes (``__init__`` is wrapped in place) so subclassing keeps working.
     """
+
+    def wrap_class(cls, reg_name: str):
+        orig_init = cls.__init__
+        try:
+            sig = inspect.signature(orig_init)
+            has_var_kw = any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values()
+            )
+            param_names = {
+                p.name
+                for p in sig.parameters.values()
+                if p.name != "self"
+                and p.kind
+                in (
+                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                    inspect.Parameter.KEYWORD_ONLY,
+                )
+            }
+            pos_names = [
+                p.name
+                for p in sig.parameters.values()
+                if p.name != "self"
+                and p.kind
+                in (
+                    inspect.Parameter.POSITIONAL_ONLY,
+                    inspect.Parameter.POSITIONAL_OR_KEYWORD,
+                )
+            ]
+        except (TypeError, ValueError):
+            has_var_kw, param_names, pos_names = True, set(), []
+
+        @functools.wraps(orig_init)
+        def __init__(self, *args, **kwargs):
+            bound = _REG.bindings.get(reg_name, {})
+            inject = {}
+            for k, v in bound.items():
+                if k in denylist:
+                    continue
+                if not has_var_kw and k not in param_names:
+                    raise ConfigError(
+                        f"Binding {reg_name}.{k} does not match any "
+                        f"parameter of {cls.__name__}.__init__"
+                    )
+                inject[k] = _resolve_value(v)
+            for pname in pos_names[: len(args)]:
+                inject.pop(pname, None)
+            inject.update(kwargs)
+            orig_init(self, *args, **inject)
+
+        cls.__init__ = __init__
+        register(reg_name, cls)
+        cls.__gin_name__ = reg_name
+        return cls
 
     def wrap(fn: Callable, reg_name: str):
         register(reg_name, None)  # placeholder to reserve name
+        if inspect.isclass(fn):
+            return wrap_class(fn, reg_name)
 
         try:
             sig = inspect.signature(fn)

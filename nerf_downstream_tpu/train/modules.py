@@ -299,7 +299,11 @@ class ClassificationTraining(BaseTask):
         labels = jnp.asarray(batch["labels"], jnp.int32)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-        loss = jnp.mean(nll)
+        if "sample_mask" in batch:  # ragged final val batch padding
+            w = jnp.asarray(batch["sample_mask"], jnp.float32)
+            loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1)
+        else:
+            loss = jnp.mean(nll)
         accs = M.topk_accuracy(logits, labels, ks=(1, 5))
         return loss, accs
 
@@ -311,12 +315,15 @@ class ClassificationTraining(BaseTask):
     def validation_batch_end(self, logits, batch):
         labels = np.asarray(batch["labels"])
         lg = np.asarray(logits)
-        order = np.argsort(-lg, axis=-1)
-        self._val_correct1 += int((order[:, 0] == labels).sum())
-        self._val_correct5 += int(
-            (order[:, :5] == labels[:, None]).any(-1).sum()
+        valid = np.asarray(
+            batch.get("sample_mask", np.ones(len(labels), bool))
         )
-        self._val_count += len(labels)
+        order = np.argsort(-lg, axis=-1)
+        self._val_correct1 += int(((order[:, 0] == labels) & valid).sum())
+        self._val_correct5 += int(
+            ((order[:, :5] == labels[:, None]).any(-1) & valid).sum()
+        )
+        self._val_count += int(valid.sum())
 
     def validation_epoch_end(self, step_results, root_dir):
         assert len(step_results) > 0
