@@ -1,0 +1,231 @@
+"""3D training CLI (reference co3d_3d/train.py).
+
+Interface parity: ``python -m co3d_3d.train --ginc <cfg.gin> ... --ginb
+<binding> ... --save_path ... --seed N [--resume] [--debug]``; the
+gin-configured entry function ``train()`` keeps the reference's full
+parameter surface (train.py:50-93) so all 28 3D config files bind unchanged.
+
+TPU notes: ``gpus`` is accepted and maps to the number of data-parallel
+devices; ``use_sync_batchnorm`` is accepted — masked-BN statistics are
+global under pjit so the conversion is a no-op (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import socket
+from typing import Optional
+
+from nerf_downstream_tpu import config as gin
+from nerf_downstream_tpu.data.data_module import DataModule
+from nerf_downstream_tpu.models import get_model
+from nerf_downstream_tpu.train.loggers import get_logger
+from nerf_downstream_tpu.train.loop import Trainer
+from nerf_downstream_tpu.train.modules import get_training_module
+from nerf_downstream_tpu.train.profilers import SumProfiler
+
+
+def setup_logger(run_name: str, debug: bool = False):
+    """Console logging with host-tag prefixes (reference train.py:33-47)."""
+    host = socket.gethostname()
+    logging.basicConfig(
+        level=logging.DEBUG if debug else logging.INFO,
+        format=f"%(asctime)s [{host}:{run_name}] %(levelname)s %(message)s",
+        force=True,
+    )
+
+
+def seed_everything(seed: int):
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed % 2**32)
+    from nerf_downstream_tpu.data import transforms as T
+
+    T.seed(seed)
+
+
+@gin.configurable
+def train(
+    save_path: str = "experiments",
+    gpus: int = 1,
+    run_name: Optional[str] = None,
+    run_name_postfix: Optional[str] = None,
+    project_name: str = "nerf-downstream-tpu",
+    max_steps: int = 10000,
+    max_epochs: int = -1,
+    warmup_steps: int = -1,
+    model=None,
+    training_module: str = "SegmentationTraining",
+    optimizer_name: str = "SGD",
+    scheduler_name: str = "PolyLR",
+    scheduler_interval: str = "step",
+    lr: float = 1e-3,
+    weight_decay: float = 1e-4,
+    batch_size: int = 8,
+    val_batch_size: int = 6,
+    prune_batch_size: int = 8,
+    train_num_workers: int = 4,
+    val_num_workers: int = 2,
+    collate_func_name: str = "collate_mink",
+    val_every_n_steps: int = 1000,
+    log_every_n_steps: int = 10,
+    reset_profiler_every_n_steps: int = 1000,
+    progressbar_refresh_rate: int = 1,
+    loggers: list = ("csv",),
+    resume_training: bool = False,
+    checkpoint_path: Optional[str] = None,
+    load_weights: bool = False,
+    load_optimizers: bool = False,
+    transfer_self_supervised: bool = False,
+    use_sync_batchnorm: bool = False,
+    use_sync_grad: bool = False,
+    ignore_label: int = -100,
+    train_phase: str = "train",
+    val_phase: str = "val",
+    test_phase: str = "test",
+    monitor_metric: str = "val/mIoU",
+    evaluate: bool = False,
+    void_weight: Optional[float] = None,
+    debug: bool = False,
+    seed: int = 777,
+    capacity: Optional[int] = None,
+):
+    os.makedirs(save_path, exist_ok=True)
+
+    if model is None:
+        model = get_model(num_batches=batch_size)
+    # use_sync_batchnorm: BN statistics are already global under pjit; no
+    # module conversion needed (reference train.py:106-107).
+
+    if run_name is None or "default" in str(run_name).lower() or run_name == "":
+        run_name = f"b{batch_size}x{gpus}-{type(model).__name__}"
+    if run_name_postfix:
+        run_name += "-" + run_name_postfix
+    logging.info(f"== run name: {run_name}")
+
+    import jax
+
+    data_module = DataModule(
+        train_phase=train_phase,
+        val_phase=val_phase,
+        test_phase=test_phase,
+        batch_size=batch_size,
+        val_batch_size=val_batch_size,
+        train_num_workers=train_num_workers,
+        val_num_workers=val_num_workers,
+        collate_func_name=collate_func_name,
+        ignore_label=ignore_label,
+        capacity=capacity,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+    task = get_training_module(training_module)(
+        model,
+        optimizer_name=optimizer_name,
+        scheduler_name=scheduler_name,
+        lr=lr,
+        weight_decay=weight_decay,
+        warmup_steps=warmup_steps,
+        ignore_label=ignore_label,
+        void_weight=void_weight,
+        log_every_n_steps=log_every_n_steps,
+        reset_profiler_every_n_steps=reset_profiler_every_n_steps,
+        load_weights=load_weights,
+        load_optimizers=load_optimizers,
+        transfer_self_supervised=transfer_self_supervised,
+        checkpoint_path=checkpoint_path,
+        debug=debug,
+        use_sync_grad=use_sync_grad,
+        datamodule=data_module,
+        scheduler_interval=scheduler_interval,
+    )
+
+    logger_objs = [
+        get_logger(name, save_path, run_name, project_name) for name in loggers
+    ]
+    from nerf_downstream_tpu.train.loggers import logged
+
+    hparams = logged()
+    for lg in logger_objs:
+        lg.log_hyperparams(hparams)
+
+    profiler = SumProfiler()
+    warmup = warmup_steps if warmup_steps and warmup_steps > 0 else 0
+    trainer = Trainer(
+        task,
+        data_module,
+        max_steps=max_steps + warmup,
+        max_epochs=max_epochs,
+        val_every_n_steps=val_every_n_steps,
+        log_every_n_steps=log_every_n_steps,
+        loggers=logger_objs,
+        default_root_dir=save_path,
+        monitor_metric=monitor_metric,
+        profiler=profiler,
+        resume_from_checkpoint=(
+            os.path.join(save_path, "last.ckpt")
+            if resume_training
+            and os.path.exists(os.path.join(save_path, "last.ckpt"))
+            else None
+        ),
+        reset_profiler_every_n_steps=reset_profiler_every_n_steps,
+        seed=seed,
+    )
+    state = trainer.fit()
+    logging.info("\n" + profiler.summary())
+
+    if evaluate:
+        results = trainer.test(state, ckpt_path="best", phase=test_phase)
+        with open(os.path.join(save_path, "eval_results.json"), "w") as f:
+            json.dump({k: float(v) for k, v in results.items()}, f)
+    return state
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ginc", action="append", help="gin config file")
+    parser.add_argument("--ginb", action="append", help="gin bindings")
+    parser.add_argument("--save_path", type=str, default="experiments")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--run_name", type=str, default=None)
+    parser.add_argument("--run_name_postfix", type=str, default=None)
+    parser.add_argument("--gpus", type=int, default=1, help="data-parallel devices")
+    parser.add_argument("--seed", type=int, default=777)
+    parser.add_argument("--debug", action="store_true")
+    args = parser.parse_args(argv)
+
+    run_name = args.run_name if args.run_name is not None else "default"
+    if args.run_name_postfix is not None:
+        run_name = f"{run_name}-{args.run_name_postfix}"
+    run_name += f"_{args.seed}"
+    setup_logger(run_name, args.debug)
+
+    import jax
+
+    logging.info(f"Found {len(jax.devices())} devices: {jax.devices()}")
+    ginbs = [f"train.gpus={args.gpus}"]
+    if args.ginb:
+        ginbs.extend(args.ginb)
+    logging.info(f"Gin configuration files: {args.ginc}")
+    logging.info(f"Gin bindings: {ginbs}")
+
+    seed_everything(args.seed)
+    gin.parse_config_files_and_bindings(args.ginc, ginbs)
+    return train(
+        save_path=args.save_path,
+        resume_training=args.resume,
+        run_name=args.run_name,
+        run_name_postfix=args.run_name_postfix,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,8 @@ def _table():
         "Co3DDatasetBase": co3d.Co3DDatasetBase,
         "ScannetDataset": scannet.ScannetDataset,
         "PlenoxelScannetDataset": scannet.PlenoxelScannetDataset,
-        "ModelNet40H5": modelnet40.ModelNet40H5,
+        "ModelNet40H5": modelnet40.ModelNet40H5Dataset,
+        "ModelNet40H5Dataset": modelnet40.ModelNet40H5Dataset,
         "SemanticKITTIDataset": semantic_kitti.SemanticKITTIDataset,
         "StanfordDataset": stanford.StanfordDataset,
     }

@@ -16,7 +16,7 @@ from nerf_downstream_tpu.data import transforms as T
 
 
 @cfg.configurable
-class ModelNet40H5:
+class ModelNet40H5Dataset:
     def __init__(
         self,
         phase: str,
@@ -71,5 +71,5 @@ class ModelNet40H5:
         }
 
 
-# alias matching the reference class name
-ModelNet40H5Dataset = ModelNet40H5
+# alias
+ModelNet40H5 = ModelNet40H5Dataset

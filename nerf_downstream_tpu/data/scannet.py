@@ -71,6 +71,10 @@ def remap_labels(labels: np.ndarray, label_map: dict,
         (labels >= 0) & (labels < lut_size), lut[np.clip(labels, 0, lut_size - 1)],
         ignore_label,
     )
+    # negative special labels (e.g. void_label = -1, scannet_plenoxel_void.gin)
+    for k, v in label_map.items():
+        if k < 0:
+            out = np.where(labels == k, v, out)
     return out.astype(np.int32)
 
 

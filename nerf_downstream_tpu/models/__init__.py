@@ -12,14 +12,45 @@ from __future__ import annotations
 from nerf_downstream_tpu import config as cfg
 
 
+@cfg.configurable("Res16UNet")
+def res16unet_factory(
+    out_channel: int = 20,
+    PLANES=(32, 48, 64, 96, 96, 96, 64, 64),
+    DILATIONS=(1, 1, 1, 1, 1, 1, 1, 1),
+    LAYERS=(2, 2, 2, 2, 2, 2, 2, 2),
+    BLOCK="BasicBlock",
+    NORM_TYPE="BN",
+    nonlinearity="MinkowskiReLU",
+    bn_momentum: float = 0.1,
+    sparse_mode=(0,) * 9,
+    **kwargs,
+):
+    """gin surface of the reference Res16UNet ctor (res16unet.py:30-43):
+    UPPERCASE hyperparameter names map onto the flax module fields."""
+    from nerf_downstream_tpu.models.mink.res16unet import Res16UNet
+
+    block = BLOCK if isinstance(BLOCK, str) else BLOCK.__name__
+    return Res16UNet(
+        out_channel=out_channel,
+        planes=tuple(PLANES),
+        dilations=tuple(DILATIONS),
+        layers=tuple(LAYERS),
+        block=block,
+        norm_type=NORM_TYPE,
+        nonlinearity=nonlinearity,
+        bn_momentum=bn_momentum,
+        **kwargs,
+    )
+
+
 def _build(name: str, in_channel: int, out_channel: int, sparse, kwargs):
     from nerf_downstream_tpu.models.mink import res16unet, resnet
 
     if name in resnet._VARIANTS:
         return resnet.make_resnet(name, out_channel, **kwargs)
-    if name in res16unet.VARIANTS or name == "Res16UNet":
-        if name == "Res16UNet":
-            return res16unet.Res16UNet(out_channel=out_channel, **kwargs)
+    if name == "Res16UNet":
+        return res16unet_factory(out_channel=out_channel, **kwargs)
+    if name in res16unet.VARIANTS:
         return res16unet.make_res16unet(name, out_channel, **kwargs)
     if name in ("MinkowskiFCNN", "MinkowskiSplatFCNN"):
         from nerf_downstream_tpu.models.mink import fcnn

@@ -26,6 +26,15 @@ from nerf_downstream_tpu.train.loggers import BaseLogger
 from nerf_downstream_tpu.train.profilers import SumProfiler
 
 
+def array_batch(batch: dict) -> dict:
+    """Drop non-array fields (metadata lists etc.) before the jit boundary."""
+    return {
+        k: v
+        for k, v in batch.items()
+        if isinstance(v, (np.ndarray, np.generic, jax.Array, int, float))
+    }
+
+
 class Trainer:
     def __init__(
         self,
@@ -106,7 +115,7 @@ class Trainer:
 
         for step in range(start_step, self.max_steps):
             with self.profiler.profile("run_training_batch"):
-                state, mets = train_step(state, batch)
+                state, mets = train_step(state, array_batch(batch))
 
             if pending is not None:
                 self._emit_train_logs(*pending)
@@ -174,7 +183,7 @@ class Trainer:
         results = []
         for batch in self.datamodule.val_batches(phase):
             t0 = time.perf_counter()
-            logits, mets = eval_step(state, batch)
+            logits, mets = eval_step(state, array_batch(batch))
             jax.block_until_ready(logits)
             iter_time = time.perf_counter() - t0
             task.validation_batch_end(logits, batch)

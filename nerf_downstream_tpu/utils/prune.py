@@ -1,0 +1,96 @@
+"""Pruning utilities (reference co3d_3d/src/utils/prune.py:11-77).
+
+Functional JAX port of the torch.nn.utils.prune workflow: masks are arrays
+mirroring conv kernels, stored under a ``pruning_masks`` entry in
+checkpoints. ``fold_pruning_masks`` makes pruning permanent (the analogue of
+``torch_prune.remove``); parameter counting reports exact zeros in kernels
+(what the reference's mask counting measures after folding).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_kernel(path) -> bool:
+    last = path[-1]
+    name = getattr(last, "key", getattr(last, "name", str(last)))
+    return name == "kernel"
+
+
+def get_parameters_to_prune(params) -> list:
+    """Paths of prunable conv kernels (reference prune.py:34-57 enumerates
+    sparse-conv layers)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return [path for path, leaf in flat if _is_kernel(path) and leaf.ndim == 3]
+
+
+def count_parameters_tree(params) -> dict:
+    """{"total": N, "pruned": zeros-in-kernels} (reference prune.py:11-22)."""
+    total = 0
+    pruned = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        n = int(np.prod(leaf.shape))
+        total += n
+        if _is_kernel(path):
+            pruned += int(np.sum(np.asarray(leaf) == 0))
+    return {"total": total, "pruned": pruned}
+
+
+def magnitude_prune(params, amount: float):
+    """Zero the smallest-|w| ``amount`` fraction of every conv kernel;
+    returns (pruned_params, masks)."""
+
+    def prune_leaf(path, leaf):
+        if not (_is_kernel(path) and leaf.ndim == 3):
+            return leaf, None
+        w = np.asarray(leaf)
+        k = int(w.size * amount)
+        if k == 0:
+            return leaf, np.ones_like(w, bool)
+        ths = np.partition(np.abs(w).ravel(), k - 1)[k - 1]
+        mask = np.abs(w) > ths
+        return jnp.asarray(w * mask), mask
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    new_leaves, masks = [], {}
+    for path, leaf in flat:
+        new_leaf, mask = prune_leaf(path, leaf)
+        new_leaves.append(new_leaf)
+        if mask is not None:
+            masks["/".join(str(getattr(p, "key", p)) for p in path)] = mask
+    return jax.tree_util.tree_unflatten(treedef, new_leaves), masks
+
+
+def apply_masks(params, masks: dict):
+    """Re-apply stored masks onto kernels (identity-prune load path,
+    reference eval.py:49-57)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        if key in masks:
+            out.append(leaf * jnp.asarray(np.asarray(masks[key]), leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def fold_pruning_masks(state) -> tuple[Any, dict]:
+    """Fold any checkpoint-carried masks into weights (torch_prune.remove
+    equivalent). With no masks present this is a no-op."""
+    masks = getattr(state, "pruning_masks", None)
+    if not masks:
+        return state, {}
+    params = apply_masks(state.params, masks)
+    return state.replace(params=params), {"folded": len(masks)}
+
+
+def count_flops(flops_records: list) -> float:
+    """Aggregate per-layer FLOP records (reference prune.py:25-31 reads
+    layer ``_flops``; here layers report via sparse_conv_real_flops)."""
+    return float(sum(flops_records))

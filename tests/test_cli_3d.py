@@ -1,0 +1,139 @@
+"""End-to-end CLI tests: the reference launch recipes on synthetic data."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from nerf_downstream_tpu import config as cfg
+from nerf_downstream_tpu.data import plenoxel
+from nerf_downstream_tpu.data.co3d import CLASSES
+
+CFG = "co3d_3d/configs"
+
+
+@pytest.fixture(autouse=True)
+def _clean_cfg():
+    cfg.clear_config()
+    yield
+    cfg.clear_config()
+
+
+def write_co3d_tree(tmp_path, rng, n_scenes=4):
+    root = tmp_path / "co3d"
+    lines = []
+    for i in range(n_scenes):
+        inst = f"s{i}"
+        sc = plenoxel.make_synthetic_scene(rng, n_voxels=300)
+        plenoxel.save_npz(
+            str(root / f"plenoxel_co3d_{inst}" / "data.npz"),
+            sc["coords"], sc["density"], sc["sh"], sc["reso"],
+        )
+        lines.append(f"{CLASSES[i % 3]} {inst}")
+    fdir = tmp_path / "filelist"
+    os.makedirs(fdir)
+    for phase in ("train", "test"):
+        (fdir / f"{phase}.txt").write_text("\n".join(lines) + "\n")
+    return str(root), str(fdir)
+
+
+def write_scannet_tree(tmp_path, rng, n_scenes=3):
+    root = tmp_path / "perfception-scannet"
+    split = tmp_path / "split"
+    os.makedirs(split)
+    names = []
+    for i in range(n_scenes):
+        inst = f"scene{i:04d}_00"
+        sc = plenoxel.make_synthetic_scene(
+            rng, n_voxels=400, with_labels=True, num_classes=41
+        )
+        plenoxel.save_npz(
+            str(root / f"plenoxel_torch_{inst}" / "data.npz"),
+            sc["coords"], sc["density"], sc["sh"], sc["reso"],
+            labels=sc["labels"], dists=sc["dists"],
+        )
+        names.append(inst)
+    for phase in ("train", "val"):
+        (split / f"scannet_256_{phase}.txt").write_text("\n".join(names))
+    with open(split / "scene_scales.data", "wb") as f:
+        pickle.dump({n: 1.0 for n in names}, f)
+    return str(root)
+
+
+def test_train_cli_co3d_classification(tmp_path, rng):
+    root, fdir = write_co3d_tree(tmp_path, rng)
+    from co3d_3d import train as train_cli
+
+    out = tmp_path / "exp"
+    train_cli.main([
+        "--ginc", f"{CFG}/co3d_cls.gin",
+        "--ginc", f"{CFG}/co3d_aug2.gin",
+        "--ginc", f"{CFG}/feature_sh.gin",
+        "--ginc", f"{CFG}/resnet14.gin",
+        "--ginb", f'Co3DDatasetBase.data_root = "{root}"',
+        "--ginb", f'Co3DDatasetBase.filelist_dir = "{fdir}"',
+        "--ginb", "Co3DDatasetBase.downsample_stride = 1",
+        "--ginb", "train.max_steps = 3",
+        "--ginb", "train.val_every_n_steps = 2",
+        "--ginb", "train.batch_size = 2",
+        "--ginb", "train.val_batch_size = 2",
+        "--ginb", "train.train_num_workers = 1",
+        "--ginb", "train.val_num_workers = 1",
+        "--ginb", "train.evaluate = True",
+        "--save_path", str(out),
+        "--seed", "1",
+    ])
+    assert (out / "last.ckpt").exists()
+    assert (out / "best.ckpt").exists()
+    assert (out / "eval_results.json").exists()
+    res = json.loads((out / "eval_results.json").read_text())
+    assert "val/acc1" in res
+
+
+def test_train_and_eval_cli_scannet_seg(tmp_path, rng):
+    root = write_scannet_tree(tmp_path, rng)
+    from co3d_3d import eval as eval_cli
+    from co3d_3d import train as train_cli
+
+    out = tmp_path / "exp"
+    common = [
+        "--ginc", f"{CFG}/scannet_plenoxel.gin",
+        "--ginc", f"{CFG}/scannet_feature_sh.gin",
+        "--ginb", f'PlenoxelScannetDataset.data_root = "{root}"',
+        "--ginb", "PlenoxelScannetDataset.downsample_stride = 1",
+        "--ginb", "PlenoxelScannetDataset.train_transformations = []",
+        "--ginb", "Res16UNet.PLANES = (8, 8, 8, 8, 8, 8, 8, 8)",
+        "--ginb", "Res16UNet.LAYERS = (1, 1, 1, 1, 1, 1, 1, 1)",
+    ]
+    train_cli.main(common + [
+        "--ginb", "train.max_steps = 2",
+        "--ginb", "train.val_every_n_steps = 0",
+        "--ginb", "train.batch_size = 2",
+        "--ginb", "train.val_batch_size = 1",
+        "--ginb", "train.train_num_workers = 1",
+        "--save_path", str(out),
+        "--seed", "1",
+    ])
+    assert (out / "last.ckpt").exists()
+
+    cfg.clear_config()
+    eval_cli.main(common + [
+        "--load_path", str(out / "last.ckpt"),
+        "--tag", "smoke",
+    ])
+    res = json.loads((out / "smoke.json").read_text())[0]
+    assert "val/mIoU" in res
+    # idempotency: second run skips
+    assert eval_cli.main(common + [
+        "--load_path", str(out / "last.ckpt"), "--tag", "smoke",
+    ]) is None
+
+
+def test_all_own_configs_parse():
+    import glob
+
+    for path in glob.glob(f"{CFG}/*.gin"):
+        cfg.clear_config()
+        cfg.parse_config_files_and_bindings([path], [])
