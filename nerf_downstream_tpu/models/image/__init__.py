@@ -1,0 +1,72 @@
+"""2D model registry: ResNetBased / ViTBased / select_model
+(reference co3d_2d/src/modules/classification.py:14-38,
+co3d_2d/src/model/models.py:8-54)."""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from nerf_downstream_tpu import config as cfg
+from nerf_downstream_tpu.models.image.resnet2d import RESNET_SPECS, ResNet2D
+from nerf_downstream_tpu.models.image.vit import VIT_SPECS, ViT
+
+RESNET_LIST = list(RESNET_SPECS)
+VIT_LIST = list(VIT_SPECS)
+
+
+class _ResNetBased(nn.Module):
+    """Backbone -> Dropout(0.2) -> Linear(51)."""
+
+    model: str = "resnet18"
+    dropout_rate: float = 0.2
+    num_classes: int = 51
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = ResNet2D(
+            **RESNET_SPECS[self.model], dtype=self.dtype, name="model"
+        )(x, train)
+        feats = nn.Dropout(self.dropout_rate, deterministic=not train)(feats)
+        return nn.Dense(self.num_classes, name="fc")(feats)
+
+
+@cfg.configurable("ResNetBased")
+def ResNetBased(model: str = "resnet18", dropout_rate: float = 0.2,
+                pretrained: bool = False, num_classes: int = 51,
+                dtype=jnp.float32):
+    if pretrained:
+        logging.warning(
+            "pretrained=True requested but no pretrained weights ship with "
+            "this zero-egress build; training from scratch. Load converted "
+            "weights via LitModel checkpoint_path instead."
+        )
+    return _ResNetBased(
+        model=model, dropout_rate=dropout_rate, num_classes=num_classes,
+        dtype=dtype,
+    )
+
+
+@cfg.configurable("ViTBased")
+def ViTBased(model: str = "vit_small_patch16_224", pretrained: bool = False,
+             num_classes: int = 51, dtype=jnp.float32):
+    if pretrained:
+        logging.warning(
+            "pretrained=True requested but no pretrained weights available; "
+            "training from scratch."
+        )
+    return ViT(num_classes=num_classes, dtype=dtype, **VIT_SPECS[model])
+
+
+def select_model(model_name: str):
+    if model_name is None:
+        raise NameError("model_name is required")
+    if model_name in RESNET_LIST:
+        return ResNetBased(model_name)
+    if model_name in VIT_LIST:
+        return ViTBased(model_name)
+    raise NameError(f"Unknown model name : {model_name}")

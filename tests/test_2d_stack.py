@@ -1,0 +1,151 @@
+"""2D stack tests: models, transforms, augmix, loader, end-to-end CLI."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from nerf_downstream_tpu import config as cfg
+from nerf_downstream_tpu.data import augmix
+from nerf_downstream_tpu.data import transforms2d as T2
+
+
+@pytest.fixture(autouse=True)
+def _clean_cfg():
+    cfg.clear_config()
+    T2.seed(0)
+    augmix.seed(0)
+    yield
+    cfg.clear_config()
+
+
+def rand_image(rng, size=64):
+    arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    return Image.fromarray(arr)
+
+
+def test_2d_transforms(rng):
+    img = rand_image(rng, 96)
+    train_tf = T2.build(
+        ["RandomResizedCrop", "ColorJitter", "RandomHorizontalFlip",
+         "ToTensor", "PCALoss", "Normalize"]
+    )
+    out = train_tf(img)
+    assert out.shape == (224, 224, 3)
+    assert out.dtype == np.float32
+    eval_tf = T2.build(["CenterCrop", "ToTensor", "Normalize"])
+    out = eval_tf(rand_image(rng, 300))
+    assert out.shape == (224, 224, 3)
+
+
+def test_augmix_runs(rng):
+    img = rand_image(rng, 64)
+    tf = T2.build(["CenterCrop", "ToTensor", "Normalize"])
+    out = augmix.augment_and_mix(img, tf)
+    assert out.shape == (224, 224, 3)
+    assert np.isfinite(out).all()
+
+
+def test_background_aug(rng):
+    fg = rand_image(rng, 64)
+    bg = rand_image(rng, 64)
+    mask = Image.fromarray(
+        np.full((64, 64, 3), 255, np.uint8)
+    )
+    out = T2.BackgroundAug(rescale_range=(1.0, 1.0))(fg, bg, mask)
+    assert out.size == bg.size
+
+
+def test_resnet2d_forward(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_downstream_tpu.models.image import select_model
+
+    model = select_model("resnet18")
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    logits = model.apply(v, x, train=False)
+    assert logits.shape == (2, 51)
+
+    # resnext grouped conv path
+    m2 = select_model("resnext50_32x4d")
+    v2 = m2.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert m2.apply(v2, x, train=False).shape == (2, 51)
+
+
+def test_vit_forward(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_downstream_tpu.models.image.vit import ViT
+
+    model = ViT(num_classes=51, dim=64, depth=2, heads=4, patch=16,
+                layer_scale=1e-6)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    logits = model.apply(v, x, train=False)
+    assert logits.shape == (2, 51)
+
+
+def _write_perfception_tree(tmp_path, rng, n_scenes=4, frames=3):
+    from nerf_downstream_tpu.data.co3d import CLASSES
+
+    root = tmp_path / "perfception"
+    lines = []
+    for i in range(n_scenes):
+        cls = CLASSES[i % 3]
+        scene = f"sc{i}"
+        for sub in ("fgbg", "bg", "mask"):
+            os.makedirs(root / cls / scene / sub, exist_ok=True)
+        for f in range(frames):
+            rand_image(rng, 64).save(
+                root / cls / scene / "fgbg" / f"image{f:03d}.jpg"
+            )
+            rand_image(rng, 64).save(
+                root / cls / scene / "bg" / f"image{f:03d}.jpg"
+            )
+            Image.fromarray(np.full((64, 64, 3), 255, np.uint8)).save(
+                root / cls / scene / "mask" / f"mask{f:03d}.jpg"
+            )
+        lines.append(f"{cls} {scene} {frames}")
+    fdir = tmp_path / "filelist"
+    os.makedirs(fdir, exist_ok=True)
+    for phase in ("train", "val", "test"):
+        (fdir / f"{phase}.txt").write_text("\n".join(lines) + "\n")
+    return str(root), str(fdir)
+
+
+def test_2d_cli_end_to_end(tmp_path, rng):
+    root, fdir = _write_perfception_tree(tmp_path, rng)
+    from co3d_2d import train as train2d
+
+    res = train2d.main([
+        "--ginc", "co3d_2d/configs/ours_scratch/resnet18.gin",
+        "--ginb", f'PeRFCeptionCo3DTrainDataset.data_root = "{root}"',
+        "--ginb", f'PeRFCeptionCo3DTrainDataset.filelist_dir = "{fdir}"',
+        "--ginb", f'PeRFCeptionCo3DEvalDataset.data_root = "{root}"',
+        "--ginb", f'PeRFCeptionCo3DEvalDataset.filelist_dir = "{fdir}"',
+        "--ginb", "PeRFCeptionCo3DTrainDataset.frames_per_scene = 3",
+        "--ginb", "DataModule.batch_size = 2",
+        "--ginb", "DataModule.chunks = 4",
+        "--ginb", "DataModule.num_workers = 1",
+        "--ginb", "run.max_epochs = 1",
+        "--ginb", "run.check_val_every_n_epoch = 1",
+        "--ginb", "run.precision = 32",
+        "--ginb", f'run.log_dir = "{tmp_path}/logs"',
+        "--seed", "0",
+    ])
+    assert "val/acc" in res  # test phase reports via val/ keys internally
+    assert os.path.exists(f"{tmp_path}/logs/co3d_perfception_resnet18_scratch_0/last.ckpt")
+
+
+def test_all_2d_configs_parse():
+    import glob
+
+    files = glob.glob("co3d_2d/configs/**/*.gin", recursive=True)
+    assert len(files) == 96
+    for path in files:
+        cfg.clear_config()
+        cfg.parse_config_files_and_bindings([path], [])
