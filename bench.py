@@ -1,0 +1,102 @@
+"""Benchmark: MinkowskiNet (Res16UNet18A) fwd+bwd voxel throughput per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: PeRFception-ScanNet-like synthetic batch — 8 scenes x ~24k
+occupied voxels (SH-27 features), 20 classes, capacity 256k rows — through a
+full Res16UNet18A training step (conv kernel-map build + gather-GEMM
+sparse convs + sync-capable masked BN + CE + backward + SGD update).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
+denominator is an estimated A100 MinkowskiEngine MinkUNet18 train throughput
+of 2.0M voxels/s (ME gather-GEMM-scatter at ~150ms for a 300k-voxel batch),
+per BASELINE.json's ">=5x A100 voxels/sec/chip" framing.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_ME_BASELINE_VOXELS_PER_SEC = 2.0e6
+
+CAPACITY = 1 << 18  # 256k rows
+SCENES = 8
+VOXELS_PER_SCENE = 24_000
+NUM_CLASSES = 20
+WARMUP = 3
+ITERS = 10
+
+
+def make_batch(rng):
+    from nerf_downstream_tpu.data.plenoxel import make_synthetic_scene
+    from nerf_downstream_tpu.data.utils import collate_mink
+
+    samples = []
+    for _ in range(SCENES):
+        sc = make_synthetic_scene(
+            rng, n_voxels=VOXELS_PER_SCENE, reso=(128, 128, 128),
+            with_labels=True, num_classes=NUM_CLASSES,
+        )
+        samples.append(
+            {
+                "coordinates": sc["coords"].astype(np.float32),
+                "features": np.concatenate(
+                    [sc["density"], sc["sh"]], 1
+                )[:, 1:28].astype(np.float32),
+                "labels": sc["labels"],
+            }
+        )
+    return collate_mink(samples, capacity=CAPACITY)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.train.loop import array_batch
+    from nerf_downstream_tpu.train.modules import SegmentationTraining
+
+    rng = np.random.default_rng(0)
+    batch = array_batch(make_batch(rng))
+    n_valid = int(batch["mask"].sum())
+
+    model = get_model(
+        name="Res16UNet18A", out_channel=NUM_CLASSES, num_batches=SCENES,
+        compute_dtype=jnp.bfloat16,
+    )
+    task = SegmentationTraining(
+        model, optimizer_name="SGD", scheduler_name="none", lr=0.1,
+        ignore_label=-100,
+    )
+    state = task.create_state(jax.random.PRNGKey(0), batch)
+    step = task.make_train_step(donate=True)
+
+    for _ in range(WARMUP):
+        state, mets = step(state, batch)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, mets = step(state, batch)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / ITERS
+
+    vps = n_valid / dt
+    print(
+        json.dumps(
+            {
+                "metric": "res16unet18a_train_voxels_per_sec_per_chip",
+                "value": round(vps, 1),
+                "unit": "voxels/s",
+                "vs_baseline": round(vps / A100_ME_BASELINE_VOXELS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

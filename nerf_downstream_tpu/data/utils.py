@@ -100,6 +100,43 @@ def collate_mink(
     return batch
 
 
+def collate_mink_sharded(
+    samples: list[dict],
+    shards: int,
+    capacity_per_shard: int | None = None,
+    ignore_label: int = -100,
+    min_capacity: int = 1024,
+) -> dict:
+    """Collate for shard_map data parallelism: samples are partitioned into
+    ``shards`` groups (whole samples per shard — kernel maps stay local),
+    each padded to an identical per-shard capacity, then concatenated so the
+    leading dim shards evenly over the mesh axis. Batch indices are local to
+    each shard (global pooling runs per-device)."""
+    assert len(samples) % shards == 0, (
+        f"batch of {len(samples)} not divisible into {shards} shards"
+    )
+    groups = [samples[i::shards] for i in range(shards)]
+    cap = capacity_per_shard
+    if cap is None:
+        cap = max(
+            next_bucket(sum(len(s["coordinates"]) for s in g), min_capacity)
+            for g in groups
+        )
+    parts = [
+        collate_mink(g, capacity=cap, ignore_label=ignore_label) for g in groups
+    ]
+    out = {}
+    for k in parts[0]:
+        if k == "metadata":
+            out[k] = sum((p[k] for p in parts), [])
+        elif k == "num_points":
+            out[k] = np.asarray([p[k] for p in parts], np.int32)
+        else:
+            out[k] = np.concatenate([np.atleast_1d(p[k]) for p in parts], 0)
+    out["shards"] = shards
+    return out
+
+
 def collate_pointnet(samples: list[dict]) -> dict:
     """Dense stacking for fixed-size point clouds (utils.py:53-73)."""
     ns = {len(s["coordinates"]) for s in samples}

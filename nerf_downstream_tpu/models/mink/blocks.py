@@ -27,6 +27,7 @@ class BasicBlock(nn.Module):
     nonlinearity: str = "MinkowskiReLU"
     bn_momentum: float = 0.1
     num_batches: int = 1
+    bn_axis_name: str | None = None
     compute_dtype: Any = jnp.float32
 
     expansion = 1
@@ -43,6 +44,7 @@ class BasicBlock(nn.Module):
                 self.norm_type,
                 bn_momentum=self.bn_momentum,
                 num_batches=self.num_batches,
+                axis_name=self.bn_axis_name,
             )
 
         out = SparseConv(
@@ -80,6 +82,7 @@ class Bottleneck(nn.Module):
     nonlinearity: str = "MinkowskiReLU"
     bn_momentum: float = 0.1
     num_batches: int = 1
+    bn_axis_name: str | None = None
     compute_dtype: Any = jnp.float32
 
     expansion = 4
@@ -96,6 +99,7 @@ class Bottleneck(nn.Module):
                 self.norm_type,
                 bn_momentum=self.bn_momentum,
                 num_batches=self.num_batches,
+                axis_name=self.bn_axis_name,
             )
 
         out = SparseConv(

@@ -43,6 +43,7 @@ class Res16UNet(nn.Module):
     nonlinearity: str = "MinkowskiReLU"
     bn_momentum: float = 0.1
     num_batches: int = 1
+    bn_axis_name: str | None = None
     compute_dtype: Any = jnp.float32
     insseg: bool = False
 
@@ -51,6 +52,7 @@ class Res16UNet(nn.Module):
             self.norm_type,
             bn_momentum=self.bn_momentum,
             num_batches=self.num_batches,
+            axis_name=self.bn_axis_name,
         )
 
     def _stage(self, sv, ctx, train, idx):
@@ -65,6 +67,7 @@ class Res16UNet(nn.Module):
                 nonlinearity=self.nonlinearity,
                 bn_momentum=self.bn_momentum,
                 num_batches=self.num_batches,
+                bn_axis_name=self.bn_axis_name,
                 compute_dtype=self.compute_dtype,
                 name=f"block{idx + 1}_{i}",
             )(sv, ctx, train)

@@ -39,6 +39,7 @@ class MinkResNetBase(nn.Module):
     nonlinearity: str = "MinkowskiReLU"
     bn_momentum: float = 0.1
     num_batches: int = 1
+    bn_axis_name: str | None = None
     compute_dtype: Any = jnp.float32
 
     def _stage(self, sv, ctx, train, planes, blocks, stage_idx):
@@ -50,6 +51,7 @@ class MinkResNetBase(nn.Module):
             nonlinearity=self.nonlinearity,
             bn_momentum=self.bn_momentum,
             num_batches=self.num_batches,
+            bn_axis_name=self.bn_axis_name,
             compute_dtype=self.compute_dtype,
             name=f"layer{stage_idx}_block0",
         )(sv, ctx, train)
@@ -61,6 +63,7 @@ class MinkResNetBase(nn.Module):
                 nonlinearity=self.nonlinearity,
                 bn_momentum=self.bn_momentum,
                 num_batches=self.num_batches,
+                bn_axis_name=self.bn_axis_name,
                 compute_dtype=self.compute_dtype,
                 name=f"layer{stage_idx}_block{i}",
             )(sv, ctx, train)
@@ -79,6 +82,7 @@ class MinkResNetBase(nn.Module):
             self.norm_type,
             bn_momentum=self.bn_momentum,
             num_batches=self.num_batches,
+            axis_name=self.bn_axis_name,
         )(sv, train)
         sv = non(sv)
         sv = SparsePool(2, 2, "sum", name="pool")(sv, ctx)

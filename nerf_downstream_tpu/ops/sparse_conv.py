@@ -20,8 +20,68 @@ ME ConvolutionTranspose / reference sparse_conv.py:427-560.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+
+def _conv_fwd_impl(feats_ext, kernel_map, w):
+    """out = sum_k take(feats_ext, idx_k) @ w_k, f32 accumulation."""
+    n_out = kernel_map.shape[1]
+    cout = w.shape[-1]
+
+    def step(acc, xs):
+        w_k, idx_k = xs
+        gathered = feats_ext[idx_k]
+        return acc + jnp.dot(
+            gathered, w_k, preferred_element_type=jnp.float32
+        ), None
+
+    out, _ = jax.lax.scan(
+        step, jnp.zeros((n_out, cout), jnp.float32), (w, kernel_map)
+    )
+    return out
+
+
+@jax.custom_vjp
+def _sparse_conv_core(feats_ext, kernel_map, w):
+    return _conv_fwd_impl(feats_ext, kernel_map, w)
+
+
+def _core_fwd(feats_ext, kernel_map, w):
+    # Residuals are only the inputs: the backward pass *recomputes* the
+    # per-offset gathers instead of letting autodiff stack [K, N, Cin]
+    # activations (which OOMs HBM on real scene sizes).
+    return _conv_fwd_impl(feats_ext, kernel_map, w), (feats_ext, kernel_map, w)
+
+
+def _core_bwd(res, g):
+    feats_ext, kernel_map, w = res
+    n_ext, cin = feats_ext.shape
+    gc = g.astype(w.dtype)
+
+    def step(d_feats, xs):
+        w_k, idx_k = xs
+        # dX += scatter_add(g @ W_k^T) at the gathered rows
+        contrib = jnp.dot(gc, w_k.T, preferred_element_type=jnp.float32)
+        d_feats = d_feats.at[idx_k].add(contrib, mode="drop")
+        # dW_k = take(x, idx_k)^T @ g   (gather recomputed)
+        gathered = feats_ext[idx_k]
+        d_w = jnp.dot(
+            gathered.T, gc, preferred_element_type=jnp.float32
+        )
+        return d_feats, d_w
+
+    d_feats, d_ws = jax.lax.scan(
+        step, jnp.zeros((n_ext, cin), jnp.float32), (w, kernel_map)
+    )
+    # sentinel row gradients vanish
+    d_feats = d_feats.at[n_ext - 1].set(0.0)
+    return d_feats.astype(feats_ext.dtype), None, d_ws.astype(w.dtype)
+
+
+_sparse_conv_core.defvjp(_core_fwd, _core_bwd)
 
 
 def sparse_conv_apply(
@@ -41,13 +101,13 @@ def sparse_conv_apply(
       weights: [K, Cin, Cout].
       bias: optional [Cout].
       compute_dtype: dtype for the gathered operand and weights (bf16 on TPU).
-      unroll: scan unroll factor.
+      unroll: scan unroll factor (reserved).
 
-    Returns [N_out, Cout] float32.
+    Returns [N_out, Cout] float32. Backward recomputes gathers (custom VJP)
+    so memory stays O(N*C) instead of O(K*N*C).
     """
     n_in, cin = feats.shape
     k, n_out = kernel_map.shape
-    cout = weights.shape[-1]
     feats_ext = jnp.concatenate(
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0
     ).astype(compute_dtype)
@@ -59,20 +119,7 @@ def sparse_conv_apply(
         gathered = feats_ext[kernel_map[0]]
         out = jnp.dot(gathered, w[0], preferred_element_type=jnp.float32)
     else:
-        def step(acc, xs):
-            w_k, idx_k = xs
-            gathered = feats_ext[idx_k]
-            acc = acc + jnp.dot(
-                gathered, w_k, preferred_element_type=jnp.float32
-            )
-            return acc, None
-
-        out, _ = jax.lax.scan(
-            step,
-            jnp.zeros((n_out, cout), jnp.float32),
-            (w, kernel_map),
-            unroll=unroll,
-        )
+        out = _sparse_conv_core(feats_ext, kernel_map, w)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out

@@ -60,6 +60,7 @@ class BaseTask:
         scheduler_interval: str = "step",
         save_pred: bool = False,
         save_pred_path: Optional[str] = None,
+        axis_name: Optional[str] = None,
     ):
         # mirror BaseModule's store-everything ctor
         for name, value in list(vars().items()):
@@ -177,14 +178,23 @@ class BaseTask:
         raise NotImplementedError
 
 
-def _weighted_ce(logits, labels, valid, class_weight):
-    """torch-style weighted cross entropy: sum(w_y * nll) / sum(w_y)."""
+def _weighted_ce(logits, labels, valid, class_weight, axis_name=None):
+    """torch-style weighted cross entropy: sum(w_y * nll) / sum(w_y).
+
+    With ``axis_name`` the denominator is the *global* weight sum, so that
+    psum-ing the resulting gradients across the mesh axis reproduces the
+    exact global-batch gradient (every point weighted equally — the
+    reference's use_sync_grad semantics, segmentation_training.py:112-120).
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     c = logits.shape[-1]
     lab = jnp.clip(labels, 0, c - 1)
     nll = -jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
     w = class_weight[lab] * valid.astype(jnp.float32)
-    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+    denom = jnp.sum(w)
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
+    return jnp.sum(nll * w) / jnp.maximum(denom, 1e-8)
 
 
 @cfg.configurable("SegmentationTraining")
@@ -210,10 +220,16 @@ class SegmentationTraining(BaseTask):
         labels = jnp.asarray(batch["labels"], jnp.int32)
         mask = jnp.asarray(batch["mask"], bool)
         valid = mask & (labels != self.ignore_label)
-        loss = _weighted_ce(logits, labels, valid, self.class_weight)
+        loss = _weighted_ce(
+            logits, labels, valid, self.class_weight, self.axis_name
+        )
         pred = jnp.argmax(logits, axis=-1)
         correct = jnp.sum((pred == labels) & valid)
-        oa = 100.0 * correct / jnp.maximum(jnp.sum(valid), 1)
+        total = jnp.sum(valid)
+        if self.axis_name is not None:
+            correct = jax.lax.psum(correct, self.axis_name)
+            total = jax.lax.psum(total, self.axis_name)
+        oa = 100.0 * correct / jnp.maximum(total, 1)
         hist = M.fast_hist(
             jnp.where(valid, pred, self.num_labels + 1),
             jnp.where(valid, labels, self.num_labels + 1),
@@ -301,10 +317,17 @@ class ClassificationTraining(BaseTask):
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         if "sample_mask" in batch:  # ragged final val batch padding
             w = jnp.asarray(batch["sample_mask"], jnp.float32)
-            loss = jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1)
         else:
-            loss = jnp.mean(nll)
+            w = jnp.ones_like(nll)
+        denom = jnp.sum(w)
+        if self.axis_name is not None:
+            denom = jax.lax.psum(denom, self.axis_name)
+        loss = jnp.sum(nll * w) / jnp.maximum(denom, 1)
         accs = M.topk_accuracy(logits, labels, ks=(1, 5))
+        if self.axis_name is not None:
+            accs = {
+                k: jax.lax.pmean(v, self.axis_name) for k, v in accs.items()
+            }
         return loss, accs
 
     def on_validation_start(self):

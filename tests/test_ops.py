@@ -247,6 +247,33 @@ def test_conv_grads_flow(rng):
     assert float(jnp.abs(gw).sum()) > 0
 
 
+def test_conv_custom_vjp_matches_autodiff(rng):
+    """Custom VJP (gather recompute) == plain autodiff through einsum."""
+    import jax
+
+    sv = full_grid_sv(rng, side=4, cin=3)
+    offs = kernel_offsets(3, 1)
+    w = jnp.asarray(rng.normal(size=(27, 3, 5)).astype(np.float32))
+    km = build_kernel_map(sv.coords, sv.mask, sv.coords, sv.mask, offs)
+    g = jnp.asarray(rng.normal(size=(sv.capacity, 5)).astype(np.float32))
+
+    def loss_custom(feats, w):
+        return jnp.sum(sparse_conv_apply(feats, km, w) * g)
+
+    def loss_ref(feats, w):
+        feats_ext = jnp.concatenate([feats, jnp.zeros((1, 3))], 0)
+        gathered = feats_ext[km]  # [K, N, Cin]
+        out = jnp.einsum("knc,kcd->nd", gathered, w)
+        return jnp.sum(out * g)
+
+    gf1, gw1 = jax.grad(loss_custom, argnums=(0, 1))(sv.feats, w)
+    gf2, gw2 = jax.grad(loss_ref, argnums=(0, 1))(sv.feats, w)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_flops_counting(rng):
     sv = full_grid_sv(rng, side=4, cin=3)
     offs = kernel_offsets(1, 1)
