@@ -28,10 +28,14 @@ def make_parallel_train_step(task, mesh: Mesh, axis: str = "data"):
         f"task.axis_name={task.axis_name!r} must equal mesh axis {axis!r}"
     )
 
+    base_key = jax.random.PRNGKey(0)
+
     def step(state, batch):
+        rng = jax.random.fold_in(base_key, state.step)
+
         def loss_fn(params):
             logits, new_stats = task._apply(
-                params, state.batch_stats, batch, train=True
+                params, state.batch_stats, batch, train=True, rng=rng
             )
             loss, mets = task.loss_and_metrics(logits, batch)
             return loss, (new_stats, mets)

@@ -181,6 +181,33 @@ def field_to_sparse(field: PointField, voxel_size: float = 1.0):
     return sv, row_to_unique
 
 
+def slice_field(sv: SparseVoxels, field: PointField) -> PointField:
+    """ME ``SparseTensor.slice(tensor_field)`` at any tensor stride: each
+    point gathers the features of its enclosing voxel at ``sv.stride``
+    (used by the multi-scale FCNN skip concat, fcnn.py:150-155)."""
+    n_in = sv.capacity
+    hi, lo = packing.pack(sv.coords, sv.mask)
+    idx = jnp.arange(n_in, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = packing.sort_with_payload(hi, lo, idx)
+    vox = (
+        jnp.floor(field.coords[:, 1:] / sv.stride).astype(jnp.int32)
+        * sv.stride
+    )
+    q = jnp.concatenate(
+        [field.coords[:, :1].astype(jnp.int32), vox], axis=1
+    )
+    q_hi, q_lo = packing.pack(q, field.mask)
+    pos = packing.find(s_hi, s_lo, q_hi, q_lo, missing=n_in)
+    s_idx_ext = jnp.concatenate([s_idx, jnp.array([n_in], jnp.int32)])
+    rows = s_idx_ext[pos]
+    feats_ext = jnp.concatenate(
+        [sv.feats, jnp.zeros((1, sv.feats.shape[1]), sv.feats.dtype)]
+    )
+    return PointField(
+        coords=field.coords, feats=feats_ext[rows], mask=field.mask
+    )
+
+
 def sparse_to_field(
     sv: SparseVoxels, field: PointField, point_to_voxel: jax.Array
 ) -> PointField:

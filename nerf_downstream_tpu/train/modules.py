@@ -128,22 +128,28 @@ class BaseTask:
     def loss_and_metrics(self, logits, batch):
         raise NotImplementedError
 
-    def _apply(self, params, batch_stats, batch, train: bool):
+    def _apply(self, params, batch_stats, batch, train: bool, rng=None):
         field = process_input(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
+            rngs = {"dropout": rng} if rng is not None else None
             out, mut = self.model.apply(
-                variables, field, train=True, mutable=["batch_stats"]
+                variables, field, train=True, mutable=["batch_stats"],
+                rngs=rngs,
             )
             return out, mut["batch_stats"]
         out = self.model.apply(variables, field, train=False)
         return out, batch_stats
 
     def make_train_step(self, donate: bool = True):
+        base_key = jax.random.PRNGKey(0)
+
         def train_step(state: TrainState, batch):
+            rng = jax.random.fold_in(base_key, state.step)
+
             def loss_fn(params):
                 logits, new_stats = self._apply(
-                    params, state.batch_stats, batch, train=True
+                    params, state.batch_stats, batch, train=True, rng=rng
                 )
                 loss, mets = self.loss_and_metrics(logits, batch)
                 return loss, (new_stats, mets)
