@@ -22,9 +22,9 @@ import numpy as np
 
 A100_ME_BASELINE_VOXELS_PER_SEC = 2.0e6
 
-CAPACITY = 1 << 18  # 256k rows
+CAPACITY = 1 << 16  # 64k rows (see compile-time note below)
 SCENES = 8
-VOXELS_PER_SCENE = 24_000
+VOXELS_PER_SCENE = 7_800
 NUM_CLASSES = 20
 WARMUP = 3
 ITERS = 10
@@ -54,7 +54,15 @@ def make_batch(rng):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
+
+    from nerf_downstream_tpu import config as cfg
+
+    # dense-grid kernel-map builder: scene coords span 128 voxels
+    cfg.parse_config("CoordinateContext.grid_extent = 128")
 
     from nerf_downstream_tpu.models import get_model
     from nerf_downstream_tpu.train.loop import array_batch

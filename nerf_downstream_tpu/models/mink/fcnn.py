@@ -74,7 +74,7 @@ class MinkowskiFCNN(nn.Module):
 
     @nn.compact
     def __call__(self, field: PointField, train: bool = False) -> jax.Array:
-        ctx = CoordinateContext()
+        ctx = CoordinateContext(num_batches=self.num_batches)
         ch = self.channels
         k = self.kernel_size
 

@@ -74,7 +74,13 @@ class SparseConv(nn.Module):
         else:
             out_sv = sv
         km = ctx.kernel_map(
-            sv.coords, sv.mask, out_sv.coords, out_sv.mask, offs
+            sv.coords, sv.mask, out_sv.coords, out_sv.mask, offs,
+            in_stride=sv.stride,
+        )
+        # inverted map makes the backward d_feats a gather, not a scatter
+        inv = ctx.kernel_map(
+            out_sv.coords, out_sv.mask, sv.coords, sv.mask, offs,
+            transpose=True, in_stride=out_sv.stride,
         )
         w = self.param(
             "kernel", _kaiming_conv_init, (len(offs), cin, self.out_channels)
@@ -85,7 +91,7 @@ class SparseConv(nn.Module):
             else None
         )
         out_f = sparse_conv_apply(
-            sv.feats, km, w, b, compute_dtype=self.compute_dtype
+            sv.feats, km, w, b, compute_dtype=self.compute_dtype, inv_map=inv
         )
         return SparseVoxels(
             coords=out_sv.coords,
@@ -127,6 +133,11 @@ class SparseConvTranspose(nn.Module):
             target.mask,
             offs,
             transpose=True,
+            in_stride=sv.stride,
+        )
+        inv = ctx.kernel_map(
+            target.coords, target.mask, sv.coords, sv.mask, offs,
+            transpose=False, in_stride=target.stride,
         )
         w = self.param(
             "kernel", _kaiming_conv_init, (len(offs), cin, self.out_channels)
@@ -137,7 +148,7 @@ class SparseConvTranspose(nn.Module):
             else None
         )
         out_f = sparse_conv_apply(
-            sv.feats, km, w, b, compute_dtype=self.compute_dtype
+            sv.feats, km, w, b, compute_dtype=self.compute_dtype, inv_map=inv
         )
         return SparseVoxels(
             coords=target.coords,
@@ -160,7 +171,8 @@ class SparsePool(nn.Module):
         offs = kernel_offsets(self.kernel_size, sv.stride)
         out_sv = ctx.strided(sv, self.stride) if self.stride > 1 else sv
         km = ctx.kernel_map(
-            sv.coords, sv.mask, out_sv.coords, out_sv.mask, offs
+            sv.coords, sv.mask, out_sv.coords, out_sv.mask, offs,
+            in_stride=sv.stride,
         )
         out_f = window_pool(sv.masked_feats(), km, self.mode)
         return SparseVoxels(

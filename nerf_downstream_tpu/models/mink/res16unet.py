@@ -92,7 +92,7 @@ class Res16UNet(nn.Module):
 
     @nn.compact
     def __call__(self, field: PointField, train: bool = False):
-        ctx = CoordinateContext()
+        ctx = CoordinateContext(num_batches=self.num_batches)
         sv, p2v = field_to_sparse(field)
         p = self.planes
 

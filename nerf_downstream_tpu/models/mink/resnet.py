@@ -71,7 +71,7 @@ class MinkResNetBase(nn.Module):
 
     @nn.compact
     def __call__(self, field: PointField, train: bool = False) -> jax.Array:
-        ctx = CoordinateContext()
+        ctx = CoordinateContext(num_batches=self.num_batches)
         sv, _ = field_to_sparse(field)
         non = get_nonlinearity(self.nonlinearity)
 

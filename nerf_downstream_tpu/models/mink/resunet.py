@@ -59,7 +59,7 @@ class ResUNet2(nn.Module):
 
     @nn.compact
     def __call__(self, field: PointField, train: bool = False):
-        ctx = CoordinateContext()
+        ctx = CoordinateContext(num_batches=self.num_batches)
         sv, p2v = field_to_sparse(field)
         ch, tr = self.channels, self.tr_channels
         relu = lambda t: t.replace(feats=jax.nn.relu(t.feats))

@@ -84,6 +84,58 @@ def _core_bwd(res, g):
 _sparse_conv_core.defvjp(_core_fwd, _core_bwd)
 
 
+@jax.custom_vjp
+def _sparse_conv_core_inv(feats_ext, kernel_map, inv_map, w):
+    return _conv_fwd_impl(feats_ext, kernel_map, w)
+
+
+def _core_inv_fwd(feats_ext, kernel_map, inv_map, w):
+    return _conv_fwd_impl(feats_ext, kernel_map, w), (
+        feats_ext, kernel_map, inv_map, w,
+    )
+
+
+def _core_inv_bwd(res, g):
+    """d_feats via the inverted map: gathers instead of scatter-adds (TPU
+    scatters cost ~2x a gather). inv_map[k, i] = output row whose offset-k
+    neighbor is input row i (sentinel = N_out)."""
+    feats_ext, kernel_map, inv_map, w = res
+    n_ext, cin = feats_ext.shape
+    n_out = g.shape[0]
+    gc = g.astype(w.dtype)
+    g_ext = jnp.concatenate([gc, jnp.zeros((1, gc.shape[1]), gc.dtype)], 0)
+
+    def dx_step(acc, xs):
+        w_k, inv_k = xs
+        picked = g_ext[inv_k]  # [N_in, Cout]
+        return acc + jnp.dot(
+            picked, w_k.T, preferred_element_type=jnp.float32
+        ), None
+
+    d_feats_in, _ = jax.lax.scan(
+        dx_step,
+        jnp.zeros((inv_map.shape[1], cin), jnp.float32),
+        (w, inv_map),
+    )
+    d_feats = jnp.zeros((n_ext, cin), jnp.float32).at[: inv_map.shape[1]].set(
+        d_feats_in
+    )
+    d_feats = d_feats.at[n_ext - 1].set(0.0)
+
+    def dw_step(_, xs):
+        w_k, idx_k = xs
+        gathered = feats_ext[idx_k]
+        return None, jnp.dot(
+            gathered.T, gc, preferred_element_type=jnp.float32
+        )
+
+    _, d_ws = jax.lax.scan(dw_step, None, (w, kernel_map))
+    return d_feats.astype(feats_ext.dtype), None, None, d_ws.astype(w.dtype)
+
+
+_sparse_conv_core_inv.defvjp(_core_inv_fwd, _core_inv_bwd)
+
+
 def sparse_conv_apply(
     feats: jax.Array,
     kernel_map: jax.Array,
@@ -91,6 +143,7 @@ def sparse_conv_apply(
     bias: jax.Array | None = None,
     compute_dtype=jnp.float32,
     unroll: int = 1,
+    inv_map: jax.Array | None = None,
 ) -> jax.Array:
     """Apply a sparse convolution given a precomputed kernel map.
 
@@ -118,6 +171,8 @@ def sparse_conv_apply(
         # (reference sparse_conv.py:391-395)
         gathered = feats_ext[kernel_map[0]]
         out = jnp.dot(gathered, w[0], preferred_element_type=jnp.float32)
+    elif inv_map is not None:
+        out = _sparse_conv_core_inv(feats_ext, kernel_map, inv_map, w)
     else:
         out = _sparse_conv_core(feats_ext, kernel_map, w)
     if bias is not None:

@@ -1,15 +1,23 @@
-"""Per-forward coordinate context: kernel-map and stride caching.
+"""Per-forward coordinate context: kernel-map, grid-index, stride caching.
 
 MinkowskiEngine caches coordinate maps and kernel maps in its
 CoordinateManager so that the many convs sharing a stride level reuse one
-map (reference: sparse_conv.py:397-405 fetches cached maps by CoordinateMapKey).
-Here the equivalent is a plain Python dict keyed by the *traced array
-identities* of the coordinate sets: within one ``jit`` trace, the same
-coordinate arrays are the same Python objects, so every conv at a level
-reuses a single sort + binary-search subgraph.
+map (reference: sparse_conv.py:397-405 fetches cached maps by
+CoordinateMapKey). Here the equivalent is a Python dict keyed by the
+*traced array identities* of the coordinate sets: within one ``jit`` trace,
+the same coordinate arrays are the same Python objects, so every conv at a
+level reuses a single lookup-structure subgraph.
+
+Two kernel-map builders:
+- dense-grid index (default when ``grid_extent`` is set): one scatter per
+  coordinate set, one gather per map — the TPU-fast path (binary search is
+  both a Mosaic compile bomb and latency-bound at runtime);
+- sort + vectorized binary search: unbounded extent fallback (e.g. outdoor
+  SemanticKITTI at fine strides). Select via
+  ``CoordinateContext.grid_extent = None``.
 
 The transpose map of an already-built forward map is derived by a cheap
-scatter inversion instead of a fresh binary search.
+scatter inversion instead of a fresh lookup.
 """
 
 from __future__ import annotations
@@ -18,20 +26,45 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from nerf_downstream_tpu import config as cfg
 from nerf_downstream_tpu.sparse import kernels
 from nerf_downstream_tpu.sparse.types import SparseVoxels
 
 
+@cfg.configurable("CoordinateContext")
 class CoordinateContext:
-    def __init__(self):
+    def __init__(
+        self,
+        num_batches: int = 1,
+        grid_extent: int | None = None,
+        method: str = "auto",
+    ):
+        # grid_extent is configured per dataset (coordinate span in finest
+        # voxel units, e.g. ``CoordinateContext.grid_extent = 320`` for
+        # PeRFception-ScanNet); None selects the unbounded search builder.
+        self.num_batches = num_batches
+        self.grid_extent = grid_extent
+        self.method = method
         self._kmaps: dict = {}
         self._strided: dict = {}
+        self._grids: dict = {}
 
     def strided(self, sv: SparseVoxels, stride: int) -> SparseVoxels:
         key = (id(sv.coords), sv.stride, stride)
         if key not in self._strided:
             self._strided[key] = kernels.stride_coords(sv, stride)
         return self._strided[key]
+
+    def _use_grid(self) -> bool:
+        return self.method != "search" and self.grid_extent is not None
+
+    def grid_index(self, coords, mask, stride: int):
+        key = (id(coords), stride)
+        if key not in self._grids:
+            self._grids[key] = kernels.build_grid_index(
+                coords, mask, self.num_batches, self.grid_extent, stride
+            )
+        return self._grids[key]
 
     def kernel_map(
         self,
@@ -41,6 +74,7 @@ class CoordinateContext:
         out_mask: jax.Array,
         offsets: np.ndarray,
         transpose: bool = False,
+        in_stride: int = 1,
     ) -> jax.Array:
         okey = offsets.tobytes()
         key = (id(in_coords), id(out_coords), okey, transpose)
@@ -50,8 +84,20 @@ class CoordinateContext:
         # if that one exists, invert it with a scatter instead of searching.
         fwd_key = (id(out_coords), id(in_coords), okey, not transpose)
         if fwd_key in self._kmaps:
-            km = invert_kernel_map(
-                self._kmaps[fwd_key], out_coords.shape[0]
+            km = invert_kernel_map(self._kmaps[fwd_key], out_coords.shape[0])
+        elif self._use_grid():
+            grid, origin = self.grid_index(in_coords, in_mask, in_stride)
+            km = kernels.build_kernel_map_grid(
+                grid,
+                origin,
+                self.num_batches,
+                self.grid_extent,
+                in_stride,
+                in_coords.shape[0],
+                out_coords,
+                out_mask,
+                offsets,
+                transpose,
             )
         else:
             km = kernels.build_kernel_map(
@@ -64,10 +110,9 @@ class CoordinateContext:
 def invert_kernel_map(km: jax.Array, n_out: int) -> jax.Array:
     """Invert a kernel map: fwd[k, o] = i  =>  inv[k, i] = o.
 
-    ``km`` is int32[K, N_in_of_inverse] with sentinel = its input capacity;
-    result is int32[K, n_out] with sentinel = km.shape[1]... note the
-    inverse's sentinel equals the forward map's *output* count, i.e. the
-    inverse's input capacity.
+    ``km`` is int32[K, N_fwd_out] with sentinel = the inverse's output
+    count; the result is int32[K, n_out] with sentinel = N_fwd_out (the
+    inverse's input capacity).
     """
     k, n_fwd_out = km.shape
     sentinel = n_fwd_out

@@ -110,6 +110,109 @@ def unique_coords(coords, mask):
     return out_coords, out_mask, row_to_unique
 
 
+def build_grid_index(
+    coords: jax.Array,
+    mask: jax.Array,
+    num_batches: int,
+    extent: int,
+    stride: int,
+):
+    """Dense per-batch lookup grid: grid[b, x, y, z] = row index (or N).
+
+    The TPU-native replacement for hashmap probing *and* binary search:
+    one scatter builds the grid, then any number of kernel-map builds
+    against this coordinate set are single gathers. Coordinates are
+    expressed relative to each batch element's min corner; the grid covers
+    ``extent`` finest-units per axis (cells of size ``stride``).
+
+    Returns (grid int32[B, E, E, E] flattened to [B*E*E*E], origin[B, 3]).
+    """
+    n = coords.shape[0]
+    e = max(extent // stride, 1)
+    b_ids = jnp.where(mask, coords[:, 0], num_batches).astype(jnp.int32)
+    big = jnp.int32(1 << 30)
+    xyz = coords[:, 1:]
+    masked_xyz = jnp.where(mask[:, None], xyz, big)
+    origin = jax.ops.segment_min(
+        masked_xyz, b_ids, num_segments=num_batches + 1
+    )[:num_batches]
+    origin = jnp.where(origin == big, 0, origin)
+    rel = (xyz - origin[jnp.clip(b_ids, 0, num_batches - 1)]) // stride
+    in_bounds = mask & jnp.all((rel >= 0) & (rel < e), axis=1)
+    flat = (
+        jnp.clip(b_ids, 0, num_batches - 1) * (e * e * e)
+        + rel[:, 0] * (e * e)
+        + rel[:, 1] * e
+        + rel[:, 2]
+    )
+    flat = jnp.where(in_bounds, flat, num_batches * e * e * e)
+    grid = (
+        jnp.full((num_batches * e * e * e + 1,), n, jnp.int32)
+        .at[flat]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:-1]
+    )
+    return grid, origin
+
+
+def lookup_grid(
+    grid: jax.Array,
+    origin: jax.Array,
+    num_batches: int,
+    extent: int,
+    stride: int,
+    q_coords: jax.Array,
+    q_mask: jax.Array,
+    n_in: int,
+) -> jax.Array:
+    """Exact lookup of query coords in a grid index; missing/out -> n_in."""
+    e = max(extent // stride, 1)
+    b_ids = jnp.clip(q_coords[:, 0], 0, num_batches - 1).astype(jnp.int32)
+    delta = q_coords[:, 1:] - origin[b_ids]
+    rel = delta // stride
+    in_bounds = q_mask & jnp.all((rel >= 0) & (rel < e), axis=1)
+    if stride > 1:
+        # exactness: grid cells are stride-sized; only exact multiples are
+        # real coordinates of this set
+        in_bounds = in_bounds & jnp.all(delta % stride == 0, axis=1)
+    flat = b_ids * (e * e * e) + rel[:, 0] * (e * e) + rel[:, 1] * e + rel[:, 2]
+    flat = jnp.clip(flat, 0, grid.shape[0] - 1)
+    rows = grid[flat]
+    return jnp.where(in_bounds, rows, n_in)
+
+
+def build_kernel_map_grid(
+    grid,
+    origin,
+    num_batches: int,
+    extent: int,
+    in_stride: int,
+    n_in: int,
+    out_coords: jax.Array,
+    out_mask: jax.Array,
+    offsets: np.ndarray,
+    transpose: bool = False,
+) -> jax.Array:
+    """Kernel map via the dense grid index: one gather for all K offsets."""
+    offs = jnp.asarray(offsets, jnp.int32)
+    if transpose:
+        offs = -offs
+    k = offs.shape[0]
+    n_out = out_coords.shape[0]
+    q_xyz = out_coords[None, :, 1:] + offs[:, None, :]
+    q = jnp.concatenate(
+        [
+            jnp.broadcast_to(out_coords[None, :, :1], (k, n_out, 1)),
+            q_xyz,
+        ],
+        axis=-1,
+    ).reshape(-1, 4)
+    q_mask = jnp.broadcast_to(out_mask[None, :], (k, n_out)).reshape(-1)
+    rows = lookup_grid(
+        grid, origin, num_batches, extent, in_stride, q, q_mask, n_in
+    )
+    return rows.reshape(k, n_out)
+
+
 def build_kernel_map(
     in_coords: jax.Array,
     in_mask: jax.Array,
@@ -124,6 +227,10 @@ def build_kernel_map(
     ``d`` sits at ``o + d``. For a transposed conv (decoder onto cached
     coords) the adjoint relation is ``o - d``
     (reference conv_tr: sparse_conv.py:427-560; ME ConvolutionTranspose).
+
+    This is the generic (unbounded-extent) sort + binary-search builder;
+    the CoordinateContext prefers the dense-grid builder when an extent is
+    configured (an order of magnitude faster on TPU).
     """
     n_in = in_coords.shape[0]
     hi, lo = packing.pack(in_coords, in_mask)

@@ -82,7 +82,10 @@ class BaseTask:
 
     def create_state(self, rng, example_batch) -> TrainState:
         field = process_input(example_batch)
-        variables = self.model.init(rng, field, train=False)
+        # jit the init: op-by-op dispatch would trigger one compile per op
+        variables = jax.jit(
+            lambda r, f: self.model.init(r, f, train=False)
+        )(rng, field)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         tx = self.make_tx()

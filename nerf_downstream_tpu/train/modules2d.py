@@ -72,9 +72,11 @@ class LitModel:
 
     def create_state(self, rng, example_batch) -> TrainState:
         imgs = jnp.asarray(example_batch["images"], jnp.float32)
-        variables = self.model.init(
-            {"params": rng, "dropout": rng}, imgs, train=False
-        )
+        variables = jax.jit(
+            lambda r, x: self.model.init(
+                {"params": r, "dropout": r}, x, train=False
+            )
+        )(rng, imgs)
         return TrainState.create(
             self.model.apply,
             variables["params"],

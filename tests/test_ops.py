@@ -274,6 +274,35 @@ def test_conv_custom_vjp_matches_autodiff(rng):
                                atol=1e-5)
 
 
+def test_conv_inv_map_backward_matches(rng):
+    """Gather-based backward (inverted map) == scatter-based backward."""
+    import jax
+
+    from nerf_downstream_tpu.sparse.context import CoordinateContext
+
+    sv = full_grid_sv(rng, side=4, cin=3)
+    coarse = stride_coords(sv, 2)
+    offs = kernel_offsets(2, 1)
+    w = jnp.asarray(rng.normal(size=(8, 3, 5)).astype(np.float32))
+    km = build_kernel_map(sv.coords, sv.mask, coarse.coords, coarse.mask, offs)
+    inv = build_kernel_map(
+        coarse.coords, coarse.mask, sv.coords, sv.mask, offs, transpose=True
+    )
+    g = jnp.asarray(rng.normal(size=(sv.capacity, 5)).astype(np.float32))
+
+    def loss_inv(feats, w):
+        return jnp.sum(sparse_conv_apply(feats, km, w, inv_map=inv) * g)
+
+    def loss_plain(feats, w):
+        return jnp.sum(sparse_conv_apply(feats, km, w) * g)
+
+    gi = jax.grad(loss_inv, argnums=(0, 1))(sv.feats, w)
+    gp = jax.grad(loss_plain, argnums=(0, 1))(sv.feats, w)
+    for a, b in zip(gi, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_flops_counting(rng):
     sv = full_grid_sv(rng, side=4, cin=3)
     offs = kernel_offsets(1, 1)
