@@ -52,6 +52,14 @@ def _build(name: str, in_channel: int, out_channel: int, sparse, kwargs):
         return res16unet_factory(out_channel=out_channel, **kwargs)
     if name in res16unet.VARIANTS:
         return res16unet.make_res16unet(name, out_channel, **kwargs)
+    if name in ("EncodedRes16UNet", "EncodedRes16UNet2"):
+        from nerf_downstream_tpu.models.mink.encoding import EncodedRes16UNet
+
+        return EncodedRes16UNet(
+            out_channel=out_channel,
+            variant2=(name == "EncodedRes16UNet2"),
+            **kwargs,
+        )
     if name in ("MinkowskiFCNN", "MinkowskiSplatFCNN"):
         from nerf_downstream_tpu.models.mink import fcnn
 

@@ -41,7 +41,12 @@ def _kaiming_conv_init(key, shape, dtype=jnp.float32):
 
 
 class SparseConv(nn.Module):
-    """Sparse convolution. stride>1 emits a strided coordinate set."""
+    """Sparse convolution. stride>1 emits a strided coordinate set.
+
+    ``conv_mode`` mirrors the reference SparseConvMode (common.py:73-127):
+    0 = dense; 2 = ZAXIS (z-column offsets only); a static ``valid_offsets``
+    tuple (from pruned weights) subsets the kernel for the weight-sparse
+    inference path (sparse_conv.py:346-379)."""
 
     out_channels: int
     kernel_size: int = 3
@@ -49,6 +54,8 @@ class SparseConv(nn.Module):
     dilation: int = 1
     use_bias: bool = False
     compute_dtype: Any = jnp.float32
+    conv_mode: int = 0
+    valid_offsets: tuple | None = None
 
     @nn.compact
     def __call__(
@@ -68,7 +75,13 @@ class SparseConv(nn.Module):
                 )
             return sv.replace(feats=out_f)
 
-        offs = kernel_offsets(self.kernel_size, sv.stride, self.dilation)
+        full_offs = kernel_offsets(self.kernel_size, sv.stride, self.dilation)
+        subset = self.valid_offsets
+        if self.conv_mode == 2 and subset is None:  # ZAXIS
+            from nerf_downstream_tpu.ops.weight_sparse import zaxis_offsets
+
+            subset = zaxis_offsets(full_offs)
+        offs = full_offs if subset is None else full_offs[list(subset)]
         if self.stride > 1:
             out_sv = ctx.strided(sv, self.stride)
         else:
@@ -83,8 +96,12 @@ class SparseConv(nn.Module):
             transpose=True, in_stride=out_sv.stride,
         )
         w = self.param(
-            "kernel", _kaiming_conv_init, (len(offs), cin, self.out_channels)
+            "kernel",
+            _kaiming_conv_init,
+            (len(full_offs), cin, self.out_channels),
         )
+        if subset is not None:
+            w = w[jnp.asarray(list(subset))]
         b = (
             self.param("bias", nn.initializers.zeros, (self.out_channels,))
             if self.use_bias

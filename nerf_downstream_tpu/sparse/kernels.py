@@ -50,10 +50,12 @@ def kernel_offsets(
         else:
             r = np.arange(0, k)
         axes.append(r * tensor_stride * dilation)
-    # z fastest (ME iterates x slowest); order only matters for weight layout
-    # consistency between save/load, so fix it here once.
+    # x fastest (MinkowskiEngine's RegionIterator order — e.g. the ZAXIS
+    # offsets of a 3^3 kernel are indices [4, 13, 22]); the order defines the
+    # kernel-weight row layout for checkpoint parity.
     offs = np.array(
-        [(x, y, z) for x, y, z in itertools.product(*axes)], dtype=np.int32
+        [(x, y, z) for z, y, x in itertools.product(*axes[::-1])],
+        dtype=np.int32,
     )
     return offs
 
