@@ -119,9 +119,7 @@ class Co3DDatasetBase:
         label, inst_id = self.files[index]
         label = CLASSES_IDX[label]
         data = self.load_data(inst_id)
-        coords = plenoxel.decode_links(data["links"], data["reso"]).astype(
-            np.float32
-        )
+        coords = np.asarray(data["coords"], np.float32)
         density_sh = np.concatenate([data["density"], data["sh"]], axis=1)
         coords, density_sh = self.downsample(coords, density_sh)
 

@@ -28,7 +28,16 @@ def decode_links(links: np.ndarray, reso) -> np.ndarray:
 
 
 def load_npz(path: str) -> dict:
-    """Load a preprocessed scene npz; returns dict with dequantized sh."""
+    """Load a preprocessed scene npz; returns dict with dequantized sh and
+    pre-decoded ``coords``. Uses the native C++ decoder when built
+    (runtime/plenoxel_decode.cc: one-pass ZIP+npy parse, links->xyz, SH
+    dequantize, OpenMP), else numpy."""
+    from nerf_downstream_tpu import runtime
+
+    native = runtime.load_scene_native(path)
+    if native is not None:
+        native["links"] = None  # coords already decoded
+        return native
     ckpt = np.load(path)
     out = {
         "links": np.asarray(ckpt["links"]),
@@ -42,6 +51,7 @@ def load_npz(path: str) -> dict:
     for k in ("labels", "dists"):
         if k in ckpt:
             out[k] = np.asarray(ckpt[k])
+    out["coords"] = decode_links(out["links"], out["reso"])
     return out
 
 
@@ -55,11 +65,14 @@ def load_torch_ckpt(path: str) -> dict:
         sd["model.sh_data"].float() * ckpt["model.sh_data_scale"]
         + ckpt["model.sh_data_min"]
     )
+    links = sd["model.links_idx"].numpy()
+    reso = np.array([256, 256, 256])
     return {
-        "links": sd["model.links_idx"].numpy(),
+        "links": links,
         "density": sd["model.density_data"].numpy().astype(np.float32),
         "sh": sh.numpy().astype(np.float32),
-        "reso": np.array([256, 256, 256]),
+        "reso": reso,
+        "coords": decode_links(links, reso),
     }
 
 

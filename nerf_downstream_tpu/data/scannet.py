@@ -250,7 +250,7 @@ class PlenoxelScannetDataset:
         labels = np.where(dists > self.valid_thres, self.void_label, labels)
         if self.ignore_thres is not None and self.ignore_thres > 0:
             valid = dists < self.ignore_thres
-            for k in ("links", "density", "sh"):
+            for k in ("coords", "density", "sh"):
                 data[k] = data[k][valid]
             labels = labels[valid]
             dists = dists[valid]
@@ -274,9 +274,7 @@ class PlenoxelScannetDataset:
     def __getitem__(self, index: int) -> dict:
         inst_id = self.files[index]
         data = self.load_data(inst_id)
-        coords = plenoxel.decode_links(data["links"], data["reso"]).astype(
-            np.float32
-        )
+        coords = np.asarray(data["coords"], np.float32)
         density = data["density"].copy()
         if len(self.features) > 1:
             density = density / (np.abs(density).max() + 1e-5)

@@ -49,9 +49,8 @@ def test_npz_roundtrip(tmp_path, rng):
         labels=scene["labels"], dists=scene["dists"],
     )
     data = plenoxel.load_npz(path)
-    coords = plenoxel.decode_links(data["links"], data["reso"])
-    np.testing.assert_array_equal(coords, scene["coords"])
-    np.testing.assert_allclose(data["density"], scene["density"])
+    np.testing.assert_array_equal(data["coords"], scene["coords"])
+    np.testing.assert_allclose(np.asarray(data["density"]).reshape(-1, 1), scene["density"])
     # sh is uint8-quantized: tolerance = quantization step
     step = (scene["sh"].max() - scene["sh"].min()) / 255
     assert np.abs(data["sh"] - scene["sh"]).max() <= step
@@ -234,3 +233,50 @@ def test_datamodule_iteration(tmp_path, rng):
     assert b["labels"].shape == (2,)
     vals = list(dm.val_batches("val"))
     assert len(vals) == 3
+
+
+def test_native_decoder_matches_numpy(tmp_path, rng):
+    """C++ decoder output == numpy decoder output (built on demand)."""
+    from nerf_downstream_tpu import runtime
+
+    scene = plenoxel.make_synthetic_scene(rng, n_voxels=300, with_labels=True)
+    path = str(tmp_path / "s" / "data.npz")
+    plenoxel.save_npz(
+        path, scene["coords"], scene["density"], scene["sh"], scene["reso"],
+        labels=scene["labels"], dists=scene["dists"],
+    )
+    if not runtime.native_available():
+        pytest.skip("native decoder toolchain unavailable")
+    native = runtime.load_scene_native(path)
+    ref = np.load(path)
+    np.testing.assert_array_equal(native["coords"], scene["coords"])
+    np.testing.assert_allclose(
+        native["density"][:, 0], scene["density"][:, 0], rtol=1e-6
+    )
+    sh_ref = ref["sh"].astype(np.float32) * ref["sh_scale"] + ref["sh_min"]
+    np.testing.assert_allclose(native["sh"], sh_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(native["labels"], scene["labels"])
+    np.testing.assert_allclose(
+        native["dists"], scene["dists"].astype(np.float32), rtol=1e-3
+    )
+
+
+def test_native_decoder_compressed(tmp_path, rng):
+    """Deflate-compressed npz (savez_compressed) decodes identically."""
+    from nerf_downstream_tpu import runtime
+
+    if not runtime.native_available():
+        pytest.skip("native decoder toolchain unavailable")
+    scene = plenoxel.make_synthetic_scene(rng, n_voxels=200)
+    reso = np.asarray(scene["reso"])
+    links = (
+        scene["coords"][:, 0] * reso[1] + scene["coords"][:, 1]
+    ) * reso[2] + scene["coords"][:, 2]
+    path = str(tmp_path / "c.npz")
+    np.savez_compressed(
+        path, links=links, density=scene["density"], sh=scene["sh"],
+        sh_min=np.float32(0), sh_scale=np.float32(1), reso=reso,
+    )
+    native = runtime.load_scene_native(path)
+    np.testing.assert_array_equal(native["coords"], scene["coords"])
+    np.testing.assert_allclose(native["sh"], scene["sh"], rtol=1e-6)

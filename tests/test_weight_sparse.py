@@ -75,3 +75,18 @@ def test_magnitude_prune_roundtrip(rng):
     pruned, masks = magnitude_prune(params, 0.5)
     counts = count_parameters_tree(pruned)
     assert counts["pruned"] >= int(27 * 8 * 8 * 0.5) - 1
+
+
+def test_geometry_utils(rng):
+    from nerf_downstream_tpu.utils import geometry as G
+
+    pts = rng.normal(size=(100, 3))
+    T = G.sample_random_trans(pts, rng)
+    out = G.apply_transform(pts, T)
+    assert np.allclose(out.mean(0), T[:3, :3] @ pts.mean(0) + T[:3, 3])
+    # correspondences with itself at radius ~0
+    corr = G.find_correspondences(pts, pts, 1e-9)
+    assert len(corr) == 100
+    idx, dist = G.chunked_nn_search(pts[:10], pts, chunk=8)
+    np.testing.assert_array_equal(idx, np.arange(10))
+    assert dist.max() < 1e-3
