@@ -109,7 +109,7 @@ class SparseConv(nn.Module):
         )
         out_f = sparse_conv_apply(
             sv.feats, km, w, b, compute_dtype=self.compute_dtype, inv_map=inv
-        )
+        ).astype(self.compute_dtype)
         return SparseVoxels(
             coords=out_sv.coords,
             feats=out_f,
@@ -166,7 +166,7 @@ class SparseConvTranspose(nn.Module):
         )
         out_f = sparse_conv_apply(
             sv.feats, km, w, b, compute_dtype=self.compute_dtype, inv_map=inv
-        )
+        ).astype(self.compute_dtype)
         return SparseVoxels(
             coords=target.coords,
             feats=out_f,
