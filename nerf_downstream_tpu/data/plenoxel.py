@@ -142,15 +142,50 @@ def avg_downsample(coords: np.ndarray, feats: np.ndarray, stride: int):
 
 
 def make_synthetic_scene(rng, n_voxels=500, reso=(128, 128, 128),
-                         with_labels=False, num_classes=20):
-    """Generate a random scene matching the npz schema (for tests/benches)."""
+                         with_labels=False, num_classes=20,
+                         surface: bool = False):
+    """Generate a random scene matching the npz schema (for tests/benches).
+
+    ``surface=True`` samples a noisy ellipsoid shell — the locally-dense
+    surface structure of real Plenoxel reconstructions (a radiance field's
+    occupied voxels hug geometry), which is what locality-aware kernels see
+    in production. Default stays uniform-random for worst-case tests.
+    """
     reso = np.asarray(reso)
     total = int(np.prod(reso))
-    lin = rng.choice(total, size=n_voxels, replace=False)
+    if surface:
+        center = reso / 2
+        radii = reso * rng.uniform(0.25, 0.45, 3)
+        # oversample shell points, voxelize, dedupe, top up if short
+        m = n_voxels * 4
+        theta = rng.uniform(0, np.pi, m)
+        phi = rng.uniform(0, 2 * np.pi, m)
+        r_noise = 1 + 0.08 * rng.standard_normal(m)
+        pts = np.stack(
+            [
+                center[0] + radii[0] * r_noise * np.sin(theta) * np.cos(phi),
+                center[1] + radii[1] * r_noise * np.sin(theta) * np.sin(phi),
+                center[2] + radii[2] * r_noise * np.cos(theta),
+            ],
+            1,
+        )
+        vox = np.clip(np.floor(pts).astype(np.int64), 0, reso - 1)
+        lin_all = (vox[:, 0] * reso[1] + vox[:, 1]) * reso[2] + vox[:, 2]
+        lin = np.unique(lin_all)
+        if len(lin) > n_voxels:
+            # sorted truncation keeps a contiguous hemisphere (locally dense,
+            # like real reconstructions) instead of a fragmented subsample
+            lin = lin[:n_voxels]
+        elif len(lin) < n_voxels:
+            extra = rng.choice(total, n_voxels - len(lin), replace=False)
+            lin = np.unique(np.concatenate([lin, extra]))[:n_voxels]
+    else:
+        lin = rng.choice(total, size=n_voxels, replace=False)
     coords = np.stack(
         [lin // (reso[1] * reso[2]), (lin % (reso[1] * reso[2])) // reso[2],
          lin % reso[2]], axis=1,
     ).astype(np.int64)
+    n_voxels = len(coords)
     density = rng.normal(size=(n_voxels, 1)).astype(np.float32)
     sh = rng.normal(size=(n_voxels, 27)).astype(np.float32)
     out = dict(coords=coords, density=density, sh=sh, reso=reso)

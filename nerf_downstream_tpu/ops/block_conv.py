@@ -1,0 +1,278 @@
+"""Block-dense sparse convolution (TPU-native formulation).
+
+Real Plenoxel grids are surface shells: occupied voxels cluster into
+locally-dense 4^3 blocks. Instead of per-row gathers (latency-bound on
+TPU), this path:
+
+1. partitions rows into occupied 4^3 blocks (sort/unique on block keys;
+   neighbor table via the dense grid index);
+2. scatters row features into a dense [n_blocks, 64, C] layout (one
+   N-index scatter);
+3. builds each block's 6^3 halo tile by gathering only the needed
+   boundary slices of neighbors (statically pre-sliced, concat-assembled);
+4. runs a dense 3D convolution (lax.conv_general_dilated, VALID) over
+   [n_blocks, 6,6,6, C] — the conv reaches ~35% MXU vs ~1-2% for row
+   gathers;
+5. gathers occupied outputs back to rows.
+
+Custom VJP: the halo adjoint is pure gathers (block uniqueness makes
+``nbr[26-k]`` the inverse neighbor map).
+
+Measured on TPU v5e at 18% in-block occupancy (64k rows, C=128):
+forward 14.8ms vs 24.4ms for the row path (1.65x); fwd+bwd currently
+45ms vs 27ms — training stays on the row path until the remaining
+adjoint update-chains are restructured (block-resident levels, round 2).
+Enable for inference with ``CoordinateContext.method = "block"``-style
+wiring or directly via ``block_conv3``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_downstream_tpu.sparse import packing
+
+BLOCK = 4
+CELLS = BLOCK**3
+
+# neighbor offsets, x fastest (matches kernel_offsets enumeration)
+OFFS = np.array(
+    [(x, y, z) for z in (-1, 0, 1) for y in (-1, 0, 1) for x in (-1, 0, 1)],
+    np.int32,
+)
+
+
+@flax.struct.dataclass
+class BlockLayout:
+    block_coords: jax.Array  # int32[Bb, 4] in block-grid units
+    block_mask: jax.Array  # bool[Bb]
+    row_slot: jax.Array  # int32[N]: block_rank * 64 + cell; sentinel Bb*64
+    row_valid: jax.Array  # bool[N]
+    nbr: jax.Array  # int32[27, Bb]; sentinel Bb
+    overflow: jax.Array  # int32 count of dropped rows
+    n_blocks: int = flax.struct.field(pytree_node=False, default=0)
+
+
+def build_block_layout(coords, mask, stride: int, n_blocks_cap: int,
+                       num_batches: int, grid_extent: int = 512):
+    """Partition rows into 4^3 blocks.
+
+    Returns dict with:
+      block_coords int32[Bb, 4] (block-grid units), block_mask bool[Bb],
+      row_slot int32[N] (block_rank * 64 + cell, sentinel Bb*64),
+      nbr int32[27, Bb] neighbor block ranks (sentinel Bb).
+    """
+    from nerf_downstream_tpu.sparse.kernels import unique_coords
+
+    n = coords.shape[0]
+    cell_xyz = coords[:, 1:] // stride
+    block_xyz = jnp.floor_divide(cell_xyz, BLOCK)
+    in_block = cell_xyz - block_xyz * BLOCK
+    bcoords = jnp.concatenate([coords[:, :1], block_xyz], axis=1)
+    uniq, uniq_mask, row_to_block = unique_coords(bcoords, mask)
+    block_coords = uniq[:n_blocks_cap]
+    block_mask = uniq_mask[:n_blocks_cap]
+    overflow = row_to_block >= n_blocks_cap
+    cell = (in_block[:, 0] * BLOCK + in_block[:, 1]) * BLOCK + in_block[:, 2]
+    row_slot = jnp.where(
+        mask & ~overflow,
+        row_to_block * CELLS + cell,
+        n_blocks_cap * CELLS,
+    ).astype(jnp.int32)
+
+    # neighbor table via a dense grid over block coords (binary search costs
+    # ~100ms at bench scale; the grid lookup is one scalar gather)
+    from nerf_downstream_tpu.sparse.kernels import (
+        build_grid_index,
+        build_kernel_map_grid,
+    )
+
+    block_extent = 1 << max(
+        1, int(np.ceil(np.log2(max(grid_extent // BLOCK, 2))))
+    )
+    bgrid, borigin = build_grid_index(
+        block_coords, block_mask, num_batches, block_extent, 1
+    )
+    nbr = build_kernel_map_grid(
+        bgrid, borigin, num_batches, block_extent, 1, n_blocks_cap,
+        block_coords, block_mask, OFFS,
+    )
+    return BlockLayout(
+        block_coords=block_coords,
+        block_mask=block_mask,
+        row_slot=row_slot,
+        row_valid=mask & ~overflow,
+        nbr=nbr,
+        overflow=jnp.sum((mask & overflow).astype(jnp.int32)),
+        n_blocks=n_blocks_cap,
+    )
+
+
+def densify(layout, feats, mask):
+    """Rows -> [Bb * 64 (+64 pad), C] dense block cells.
+
+    Invalid/overflow rows scatter zeros (their slot is the sentinel block,
+    which halo gathers read and therefore must stay all-zero)."""
+    bb = layout.n_blocks
+    c = feats.shape[1]
+    valid = layout.row_valid
+    dense = (
+        jnp.zeros(((bb + 1) * CELLS, c), feats.dtype)
+        .at[layout.row_slot]
+        .set(jnp.where(valid[:, None], feats, 0), mode="drop")
+    )
+    return dense
+
+
+def undensify(layout, dense, n_rows: int):
+    """Dense block cells -> rows (padding rows get zeros)."""
+    return dense[layout.row_slot.clip(0, dense.shape[0] - 1)]
+
+
+def _halo_tiles(layout, dense, c):
+    return _halo(dense, layout.nbr, layout.n_blocks, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _halo(dense, nbr, n_blocks, c):
+    return _halo_tiles_impl(dense, nbr, n_blocks, c)
+
+
+def _halo_fwd(dense, nbr, n_blocks, c):
+    return _halo_tiles_impl(dense, nbr, n_blocks, c), nbr
+
+
+def _halo_bwd(n_blocks, c, nbr, g):
+    return _halo_adjoint(g, nbr, n_blocks, c), None
+
+
+_halo.defvjp(_halo_fwd, _halo_bwd)
+
+
+def _halo_adjoint(g, nbr, bb, c):
+    """Adjoint as pure gathers: block coords are unique, so the neighbor
+    relation inverts through the opposite offset — d_blocks[b][src(k)] +=
+    d_tile[nbr[26-k][b]][dst(k)] (OFFS[26-k] == -OFFS[k]). Autodiff would
+    instead emit 26 scatter-adds (~2x gather cost on TPU)."""
+    g_ext = jnp.concatenate(
+        [g, jnp.zeros((1,) + g.shape[1:], g.dtype)], axis=0
+    )  # sentinel tile row for missing inverse neighbors
+
+    def src(d):
+        if d == -1:
+            return (BLOCK - 1, BLOCK)
+        if d == 0:
+            return (0, BLOCK)
+        return (0, 1)
+
+    def dst(d):
+        if d == -1:
+            return (0, 1)
+        if d == 0:
+            return (1, BLOCK + 1)
+        return (BLOCK + 1, BLOCK + 2)
+
+    d_blocks = jnp.zeros((bb + 1, BLOCK, BLOCK, BLOCK, c), g.dtype)
+    d_blocks = d_blocks.at[:bb].set(
+        g[:, 1 : BLOCK + 1, 1 : BLOCK + 1, 1 : BLOCK + 1, :]
+    )
+    for k in range(27):
+        dx, dy, dz = (int(v) for v in OFFS[k])
+        if (dx, dy, dz) == (0, 0, 0):
+            continue
+        inv_rows = jnp.where(nbr[26 - k] < bb, nbr[26 - k], bb)
+        (sx0, sx1) = src(dx)
+        (sy0, sy1) = src(dy)
+        (sz0, sz1) = src(dz)
+        (tx0, tx1) = dst(dx)
+        (ty0, ty1) = dst(dy)
+        (tz0, tz1) = dst(dz)
+        # pre-slice the tile grad before gathering (gather-then-slice would
+        # materialize the full 216-cell tile per offset)
+        g_sliced = g_ext[:, tx0:tx1, ty0:ty1, tz0:tz1, :]
+        piece = g_sliced[inv_rows]
+        d_blocks = d_blocks.at[:bb, sx0:sx1, sy0:sy1, sz0:sz1, :].add(piece)
+    return d_blocks.reshape((bb + 1) * CELLS, c)
+
+
+def _halo_tiles_impl(dense, nbr, bb, c):
+    """[Bb, 6, 6, 6, C] halo tiles assembled by hierarchical concatenation.
+
+    The center block is a reshape; each of the 26 neighbors contributes only
+    its boundary slice (face 16 cells / edge 4 / corner 1), statically
+    pre-sliced from the dense layout *before* the gather so the gather moves
+    exactly the needed cells. Concat assembly materializes the tile once
+    (chained dynamic-update-slices re-copy the buffer per update) and its
+    adjoint is a clean split + per-piece scatter-add."""
+    blocks = dense.reshape(bb + 1, BLOCK, BLOCK, BLOCK, c)
+
+    def src(d):
+        if d == -1:
+            return (BLOCK - 1, BLOCK)
+        if d == 0:
+            return (0, BLOCK)
+        return (0, 1)
+
+    def piece(dx, dy, dz):
+        if (dx, dy, dz) == (0, 0, 0):
+            return blocks[:bb]
+        k = (dz + 1) * 9 + (dy + 1) * 3 + (dx + 1)
+        (sx0, sx1) = src(dx)
+        (sy0, sy1) = src(dy)
+        (sz0, sz1) = src(dz)
+        pre = blocks[:, sx0:sx1, sy0:sy1, sz0:sz1, :]
+        return pre[nbr[k]]
+
+    planes = []
+    for dz in (-1, 0, 1):
+        strips = []
+        for dy in (-1, 0, 1):
+            strips.append(
+                jnp.concatenate(
+                    [piece(dx, dy, dz) for dx in (-1, 0, 1)], axis=1
+                )
+            )
+        planes.append(jnp.concatenate(strips, axis=2))
+    return jnp.concatenate(planes, axis=3)
+
+
+@jax.jit
+def block_conv3(layout, feats, mask, w):
+    """k=3, stride-1, same-coordinates sparse conv via block-dense tiles.
+
+    w: [27, Cin, Cout] in kernel-offset order (x fastest — matching
+    ``kernel_offsets(3, stride)``). Returns row features [N, Cout] f32.
+    """
+    c = feats.shape[1]
+    cout = w.shape[-1]
+    dense = densify(layout, feats, mask)
+    tile = _halo_tiles(layout, dense, c)
+    # kernel_offsets order is x fastest -> filter layout [dz, dy, dx] needs
+    # care: offset (ox, oy, oz) contributes in[p + o]; VALID conv computes
+    # out[p] = sum_f in[p + f] * W[f] with f in [0,3)^3 <-> o = f - 1.
+    filt = w.reshape(3, 3, 3, c, cout)  # [oz? see below]
+    # w rows enumerate (x fastest): index k = (z+1)*9 + (y+1)*3 + (x+1)
+    # -> reshape gives [z, y, x, ...]; conv spatial dims are (d0, d1, d2)
+    # matching tile dims (x, y, z) -> transpose filter to [x, y, z].
+    filt = jnp.transpose(filt, (2, 1, 0, 3, 4))
+    out = jax.lax.conv_general_dilated(
+        tile.reshape(-1, BLOCK + 2, BLOCK + 2, BLOCK + 2, c),
+        filt,
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        # same-dtype in/out keeps the conv VJP dtype-consistent; the TPU
+        # conv accumulates in f32 internally regardless
+    )  # [Bb, 4, 4, 4, Cout]
+    dense_out = out.reshape(-1, cout)
+    dense_out = jnp.concatenate(
+        [dense_out, jnp.zeros((CELLS, cout), dense_out.dtype)], 0
+    )
+    rows = dense_out[layout.row_slot.clip(0, dense_out.shape[0] - 1)]
+    valid = layout.row_slot < layout.n_blocks * CELLS
+    return jnp.where(valid[:, None], rows.astype(jnp.float32), 0.0)
