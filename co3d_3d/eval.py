@@ -75,6 +75,19 @@ def evaluate(
     first = next(iter(data_module.val_batches(val_phase)))
     state = task.create_state(jax.random.PRNGKey(0), first)
     state, prune_stats = fold_pruning_masks(state)
+    if convert_powernorm:
+        # BN -> PN statistics transfer (reference powernorm.py:291-329);
+        # applies when the model was built with NORM_TYPE="PN" but the
+        # checkpoint carries BN stats
+        def convert(stats):
+            if isinstance(stats, dict) and "var" in stats and "mean" in stats:
+                return {"running_phi": stats["var"],
+                        "iters": jax.numpy.zeros((), jax.numpy.int32)}
+            if isinstance(stats, dict):
+                return {k: convert(v) for k, v in stats.items()}
+            return stats
+
+        state = state.replace(batch_stats=convert(state.batch_stats))
     num_params = count_parameters_tree(state.params)
     nz = num_params["total"] - num_params["pruned"]
     print(

@@ -170,6 +170,28 @@ class DataModule:
                 load, batches, self.train_num_workers
             )
 
+    def prune_batches(self, num_batches: int = 8,
+                      batch_size: Optional[int] = None) -> Iterator[dict]:
+        """Calibration batches for pruning (reference prune_dataloader,
+        data_module.py:107-124 — which references an undefined collate_fn;
+        implemented correctly here): sequential train samples, train
+        collate."""
+        ds = self.dataset("train")
+        bs = batch_size or self.batch_size
+        cap = self.capacity
+        if cap is None and self.collate_name == "collate_mink":
+            cap = self._auto_capacity(ds, bs)
+        groups = [
+            list(range(i * bs, min((i + 1) * bs, len(ds))))
+            for i in range(num_batches)
+            if i * bs < len(ds)
+        ]
+
+        def load(idx_group):
+            return self._collate([ds[int(i)] for i in idx_group], cap)
+
+        return iter(_Prefetcher(load, groups, self.val_num_workers))
+
     def val_batches(self, phase: str = "val") -> Iterator[dict]:
         ds = self.dataset(phase)
         cap = self.val_capacity

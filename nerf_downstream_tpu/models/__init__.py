@@ -39,6 +39,7 @@ def res16unet_factory(
         norm_type=NORM_TYPE,
         nonlinearity=nonlinearity,
         bn_momentum=bn_momentum,
+        sparse_mode=tuple(sparse_mode),
         **kwargs,
     )
 
@@ -46,6 +47,10 @@ def res16unet_factory(
 def _build(name: str, in_channel: int, out_channel: int, sparse, kwargs):
     from nerf_downstream_tpu.models.mink import res16unet, resnet
 
+    is_unet = name == "Res16UNet" or name in res16unet.VARIANTS
+    if sparse is not None and any(sparse) and is_unet:
+        # eval --sparsify: per-stage conv modes (reference eval.py:133-158)
+        kwargs.setdefault("sparse_mode", tuple(sparse))
     if name in resnet._VARIANTS:
         return resnet.make_resnet(name, out_channel, **kwargs)
     if name == "Res16UNet":

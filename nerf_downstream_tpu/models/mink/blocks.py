@@ -29,6 +29,7 @@ class BasicBlock(nn.Module):
     num_batches: int = 1
     bn_axis_name: str | None = None
     compute_dtype: Any = jnp.float32
+    conv_mode: int = 0
 
     expansion = 1
 
@@ -49,13 +50,15 @@ class BasicBlock(nn.Module):
 
         out = SparseConv(
             self.planes, 3, self.stride, self.dilation,
-            compute_dtype=self.compute_dtype, name="conv1",
+            compute_dtype=self.compute_dtype, conv_mode=self.conv_mode,
+            name="conv1",
         )(sv, ctx)
         out = norm("norm1")(out, train)
         out = non(out)
         out = SparseConv(
             self.planes, 3, 1, self.dilation,
-            compute_dtype=self.compute_dtype, name="conv2",
+            compute_dtype=self.compute_dtype, conv_mode=self.conv_mode,
+            name="conv2",
         )(out, ctx)
         out = norm("norm2")(out, train)
 
@@ -84,6 +87,7 @@ class Bottleneck(nn.Module):
     num_batches: int = 1
     bn_axis_name: str | None = None
     compute_dtype: Any = jnp.float32
+    conv_mode: int = 0
 
     expansion = 4
 
@@ -109,7 +113,8 @@ class Bottleneck(nn.Module):
         out = non(out)
         out = SparseConv(
             self.planes, 3, self.stride, self.dilation,
-            compute_dtype=self.compute_dtype, name="conv2",
+            compute_dtype=self.compute_dtype, conv_mode=self.conv_mode,
+            name="conv2",
         )(out, ctx)
         out = norm()(out, train)
         out = non(out)

@@ -46,6 +46,10 @@ class Res16UNet(nn.Module):
     bn_axis_name: str | None = None
     compute_dtype: Any = jnp.float32
     insseg: bool = False
+    # per-stage conv-impl selector (reference sparse_mode 9-slot list,
+    # res16unet.py:42; SparseConvMode: 0 dense, 1 sparse(valid-offset
+    # subset from pruned weights), 2 zaxis, 3 native(=dense here), 4 skip)
+    sparse_mode: Sequence[int] = (0,) * 9
 
     def _norm(self):
         return make_norm(
@@ -54,6 +58,12 @@ class Res16UNet(nn.Module):
             num_batches=self.num_batches,
             axis_name=self.bn_axis_name,
         )
+
+    def _conv_mode(self, slot: int) -> int:
+        m = self.sparse_mode[slot] if slot < len(self.sparse_mode) else 0
+        # NATIVE(3) has no separate impl on TPU (dense masked == optimal for
+        # unstructured sparsity); SKIP(4) not applicable to residual stages
+        return 2 if m == 2 else 0
 
     def _stage(self, sv, ctx, train, idx):
         block_cls = BLOCKS[self.block]
@@ -69,6 +79,7 @@ class Res16UNet(nn.Module):
                 num_batches=self.num_batches,
                 bn_axis_name=self.bn_axis_name,
                 compute_dtype=self.compute_dtype,
+                conv_mode=self._conv_mode(idx + 1),
                 name=f"block{idx + 1}_{i}",
             )(sv, ctx, train)
         return sv
@@ -77,7 +88,7 @@ class Res16UNet(nn.Module):
         non = get_nonlinearity(self.nonlinearity)
         sv = SparseConv(
             ch, kernel, stride, compute_dtype=self.compute_dtype,
-            name=f"{name}_conv",
+            conv_mode=self._conv_mode(0), name=f"{name}_conv",
         )(sv, ctx)
         sv = self._norm()(sv, train)
         return non(sv)

@@ -113,7 +113,15 @@ class Trainer:
         pending = None  # (step, device metrics) fetched one step late
         batch = first_batch
 
-        for step in range(start_step, self.max_steps):
+        max_steps = self.max_steps
+        if self.max_epochs and self.max_epochs > 0:
+            # epoch-driven budget (reference Trainer max_epochs); the
+            # datamodule reports steps per epoch when it can
+            spe = getattr(dm, "steps_per_epoch", None)
+            if callable(spe):
+                max_steps = min(max_steps, spe() * self.max_epochs)
+
+        for step in range(start_step, max_steps):
             with self.profiler.profile("run_training_batch"):
                 state, mets = train_step(state, array_batch(batch))
 
@@ -137,7 +145,7 @@ class Trainer:
                 val_metrics = self.validate(state)
                 self._maybe_checkpoint(state, val_metrics)
 
-            if step + 1 < self.max_steps:
+            if step + 1 < max_steps:
                 with self.profiler.profile("get_train_batch"):
                     batch = next(train_iter)
 

@@ -258,6 +258,7 @@ class SegmentationTraining(BaseTask):
 
     def on_validation_start(self):
         self.iou_state = M.IoUMeterState.create(self.num_labels)
+        self._val_batch_idx = 0
 
     def validation_batch_end(self, logits, batch):
         labels = jnp.asarray(batch["labels"], jnp.int32)
@@ -267,6 +268,22 @@ class SegmentationTraining(BaseTask):
         self.iou_state = M.iou_update(
             self.iou_state, pred, labels, valid, self.num_labels
         )
+        # prediction dumping every 2nd scene (reference
+        # segmentation_training.py:143-158)
+        if self.save_pred and self._val_batch_idx % 2 == 0:
+            assert self.save_pred_path is not None
+            os.makedirs(self.save_pred_path, exist_ok=True)
+            meta = batch.get("metadata", [{}])
+            inst = meta[0].get("file", f"batch{self._val_batch_idx}")
+            np.savez(
+                os.path.join(self.save_pred_path, f"{inst}.npz"),
+                coordinates=np.asarray(batch["coordinates"]),
+                logits=np.asarray(logits),
+                dists=np.asarray(batch.get("dists", np.zeros(0))),
+                labels=np.asarray(labels),
+            )
+            logging.info(f"saved prediction for {inst}")
+        self._val_batch_idx += 1
 
     def validation_epoch_end(self, step_results, root_dir):
         assert len(step_results) > 0

@@ -280,3 +280,20 @@ def test_native_decoder_compressed(tmp_path, rng):
     native = runtime.load_scene_native(path)
     np.testing.assert_array_equal(native["coords"], scene["coords"])
     np.testing.assert_allclose(native["sh"], scene["sh"], rtol=1e-6)
+
+
+def test_prune_batches(tmp_path, rng):
+    root, fdir = _write_co3d_tree(tmp_path, rng, n_scenes=6)
+    cfg.parse_config(
+        'get_dataset.dataset_name = "Co3DDataset"\n'
+        f'Co3DDatasetBase.data_root = "{root}"\n'
+        f'Co3DDatasetBase.filelist_dir = "{fdir}"\n'
+        "Co3DDatasetBase.downsample_stride = 1\n"
+    )
+    from nerf_downstream_tpu.data.data_module import DataModule
+
+    dm = DataModule(batch_size=2, val_batch_size=2, train_num_workers=1,
+                    val_num_workers=1)
+    batches = list(dm.prune_batches(num_batches=2))
+    assert len(batches) == 2
+    assert batches[0]["coordinates"].shape[1] == 4
