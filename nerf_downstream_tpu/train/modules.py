@@ -68,6 +68,8 @@ class BaseTask:
                 setattr(self, name, value)
         if load_weights or load_optimizers:
             assert checkpoint_path is not None
+        self._train_step_cache = {}
+        self._eval_step_cache = None
         self.schedule = None
         if scheduler_name.lower() != "none":
             self.schedule = get_scheduler(
@@ -145,6 +147,9 @@ class BaseTask:
         return out, batch_stats
 
     def make_train_step(self, donate: bool = True):
+        # cache: a fresh jit wrapper per call would retrace/recompile
+        if donate in self._train_step_cache:
+            return self._train_step_cache[donate]
         base_key = jax.random.PRNGKey(0)
 
         def train_step(state: TrainState, batch):
@@ -164,9 +169,14 @@ class BaseTask:
             mets = dict(mets, loss=loss)
             return new_state, mets
 
-        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        fn = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+        self._train_step_cache[donate] = fn
+        return fn
 
     def make_eval_step(self):
+        if self._eval_step_cache is not None:
+            return self._eval_step_cache
+
         def eval_step(state: TrainState, batch):
             logits, _ = self._apply(
                 state.params, state.batch_stats, batch, train=False
@@ -174,7 +184,8 @@ class BaseTask:
             loss, mets = self.loss_and_metrics(logits, batch)
             return logits, dict(mets, loss=loss)
 
-        return jax.jit(eval_step)
+        self._eval_step_cache = jax.jit(eval_step)
+        return self._eval_step_cache
 
     # epoch-level aggregation hooks (trainer calls these)
     def on_validation_start(self):

@@ -54,6 +54,8 @@ class LitModel:
         self.label_smoothing = label_smoothing
         self.num_training_steps = num_training_steps
         self.model = select_model(model_name)
+        self._train_step_cache = None
+        self._eval_step_cache = None
         self.schedule = warmup_quarter_cosine(lr, num_training_steps)
         # epoch-end accuracy state
         self._val_correct = 0
@@ -63,6 +65,7 @@ class LitModel:
     def set_num_training_steps(self, n: int):
         self.num_training_steps = n
         self.schedule = warmup_quarter_cosine(self.lr, n)
+        self._train_step_cache = None  # schedule is baked into the step
 
     def current_lr(self, step) -> float:
         return float(self.schedule(step))
@@ -109,6 +112,8 @@ class LitModel:
         return self.weight_decay * total
 
     def make_train_step(self):
+        if self._train_step_cache is not None:
+            return self._train_step_cache
         base_key = jax.random.PRNGKey(0)
 
         def train_step(state: TrainState, batch):
@@ -143,9 +148,13 @@ class LitModel:
                 "loss": loss, "celoss": celoss, "wdloss": wdloss, "acc": acc,
             }
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        self._train_step_cache = jax.jit(train_step, donate_argnums=(0,))
+        return self._train_step_cache
 
     def make_eval_step(self):
+        if self._eval_step_cache is not None:
+            return self._eval_step_cache
+
         def eval_step(state: TrainState, batch):
             variables = {"params": state.params}
             if state.batch_stats:
@@ -158,7 +167,8 @@ class LitModel:
             )
             return logits, {"loss": loss}
 
-        return jax.jit(eval_step)
+        self._eval_step_cache = jax.jit(eval_step)
+        return self._eval_step_cache
 
     # trainer hooks ---------------------------------------------------------
     def on_validation_start(self):
