@@ -2,8 +2,9 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Workload: PeRFception-ScanNet-like synthetic batch — 8 scenes x ~24k
-occupied voxels (SH-27 features), 20 classes, capacity 256k rows — through a
+Workload: PeRFception-ScanNet-like synthetic batch — 8 surface-shell
+scenes x ~7.8k occupied voxels (SH-27 features), 20 classes, 64k-row
+capacity — through a
 full Res16UNet18A training step (conv kernel-map build + gather-GEMM
 sparse convs + sync-capable masked BN + CE + backward + SGD update).
 
@@ -38,7 +39,7 @@ def make_batch(rng):
     for _ in range(SCENES):
         sc = make_synthetic_scene(
             rng, n_voxels=VOXELS_PER_SCENE, reso=(128, 128, 128),
-            with_labels=True, num_classes=NUM_CLASSES,
+            with_labels=True, num_classes=NUM_CLASSES, surface=True,
         )
         samples.append(
             {
