@@ -18,12 +18,17 @@ TPU), this path:
 Custom VJP: the halo adjoint is pure gathers (block uniqueness makes
 ``nbr[26-k]`` the inverse neighbor map).
 
+Backward is scatter-free: d_dense is a VALID conv of the *halo of the
+output cotangent* with the flipped/transposed filter; d_w is the conv
+filter-grad on a recomputed input tile.
+
 Measured on TPU v5e at 18% in-block occupancy (64k rows, C=128):
-forward 14.8ms vs 24.4ms for the row path (1.65x); fwd+bwd currently
-45ms vs 27ms — training stays on the row path until the remaining
-adjoint update-chains are restructured (block-resident levels, round 2).
-Enable for inference with ``CoordinateContext.method = "block"``-style
-wiring or directly via ``block_conv3``.
+forward 14.8ms vs 24.4ms for the row path (1.65x); fwd+bwd ~37ms vs 27ms
+(crosses over in the block path's favor at the ~25-40% occupancies of
+real reconstructions). Round-2 plan: block-resident levels (densify once
+per stride level, k2/s2 convs become in-block ops) removes the per-conv
+densify and one halo, putting fwd+bwd below the row path at all
+occupancies. Use directly via ``block_conv3``.
 """
 
 from __future__ import annotations
@@ -37,7 +42,8 @@ import numpy as np
 
 from nerf_downstream_tpu.sparse import packing
 
-BLOCK = 4
+import os as _os
+BLOCK = int(_os.environ.get("NDT_BLOCK", "4"))
 CELLS = BLOCK**3
 
 # neighbor offsets, x fastest (matches kernel_offsets enumeration)
@@ -241,6 +247,77 @@ def _halo_tiles_impl(dense, nbr, bb, c):
     return jnp.concatenate(planes, axis=3)
 
 
+def _filt(w, c, cout):
+    # w rows enumerate offsets x fastest: index k = (z+1)*9 + (y+1)*3 + (x+1)
+    # -> reshape gives [z, y, x, ci, co]; conv spatial dims follow the tile
+    # dims (x, y, z) -> transpose to [x, y, z].
+    return jnp.transpose(w.reshape(3, 3, 3, c, cout), (2, 1, 0, 3, 4))
+
+
+def _valid_conv(tile, filt):
+    return jax.lax.conv_general_dilated(
+        tile, filt, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        # same-dtype in/out keeps VJPs dtype-consistent; the TPU conv
+        # accumulates in f32 internally regardless
+    )
+
+
+def _block_core_impl(dense, nbr, w, bb, c, cout):
+    tile = _halo(dense, nbr, bb, c)
+    out = _valid_conv(tile, _filt(w, c, cout))
+    return out.reshape(bb * CELLS, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _block_core(dense, nbr, w, bb, c, cout):
+    return _block_core_impl(dense, nbr, w, bb, c, cout)
+
+
+def _block_core_fwd(dense, nbr, w, bb, c, cout):
+    return _block_core_impl(dense, nbr, w, bb, c, cout), (dense, nbr, w)
+
+
+def _block_core_bwd(bb, c, cout, res, g):
+    """Backward without any scatters:
+    - d_dense = VALID conv of the *halo of g* with the flipped, transposed
+      filter (out[q] = sum_f in[q+f-1] W[f]  =>  d_in[p] = sum_f'
+      g[p+f'-1] W[2-f']^T), which pulls neighbor-block cotangents through
+      the same gather-based halo;
+    - d_w via conv filter-grad on a recomputed input tile (one extra halo)."""
+    dense, nbr, w = res
+    g_dense = jnp.concatenate(
+        [g, jnp.zeros((CELLS, cout), g.dtype)], axis=0
+    )
+    g_tile = _halo(g_dense, nbr, bb, cout)
+    # flipped filter, channels transposed: W'[f'] = W[2 - f']^T per axis
+    filt = _filt(w, c, cout)
+    filt_rev = jnp.transpose(filt[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+    d_dense_blocks = _valid_conv(g_tile, filt_rev)  # [Bb, 4,4,4, Cin]
+    d_dense = jnp.concatenate(
+        [
+            d_dense_blocks.reshape(bb * CELLS, c),
+            jnp.zeros((CELLS, c), d_dense_blocks.dtype),
+        ],
+        axis=0,
+    ).astype(dense.dtype)
+
+    # filter grad: autodiff of the conv alone, input tile recomputed (one
+    # extra halo; cheaper than saving ~450MB tiles per conv as residuals)
+    tile = _halo(dense, nbr, bb, c)
+    g_conv = g.reshape(bb, BLOCK, BLOCK, BLOCK, cout).astype(tile.dtype)
+
+    def conv_only(w_):
+        return _valid_conv(tile, _filt(w_, c, cout))
+
+    _, vjp = jax.vjp(conv_only, w)
+    (d_w,) = vjp(g_conv)
+    return d_dense, None, d_w.astype(w.dtype)
+
+
+_block_core.defvjp(_block_core_fwd, _block_core_bwd)
+
+
 @jax.jit
 def block_conv3(layout, feats, mask, w):
     """k=3, stride-1, same-coordinates sparse conv via block-dense tiles.
@@ -250,29 +327,12 @@ def block_conv3(layout, feats, mask, w):
     """
     c = feats.shape[1]
     cout = w.shape[-1]
+    bb = layout.n_blocks
     dense = densify(layout, feats, mask)
-    tile = _halo_tiles(layout, dense, c)
-    # kernel_offsets order is x fastest -> filter layout [dz, dy, dx] needs
-    # care: offset (ox, oy, oz) contributes in[p + o]; VALID conv computes
-    # out[p] = sum_f in[p + f] * W[f] with f in [0,3)^3 <-> o = f - 1.
-    filt = w.reshape(3, 3, 3, c, cout)  # [oz? see below]
-    # w rows enumerate (x fastest): index k = (z+1)*9 + (y+1)*3 + (x+1)
-    # -> reshape gives [z, y, x, ...]; conv spatial dims are (d0, d1, d2)
-    # matching tile dims (x, y, z) -> transpose filter to [x, y, z].
-    filt = jnp.transpose(filt, (2, 1, 0, 3, 4))
-    out = jax.lax.conv_general_dilated(
-        tile.reshape(-1, BLOCK + 2, BLOCK + 2, BLOCK + 2, c),
-        filt,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        # same-dtype in/out keeps the conv VJP dtype-consistent; the TPU
-        # conv accumulates in f32 internally regardless
-    )  # [Bb, 4, 4, 4, Cout]
-    dense_out = out.reshape(-1, cout)
+    out_cells = _block_core(dense, layout.nbr, w, bb, c, cout)
     dense_out = jnp.concatenate(
-        [dense_out, jnp.zeros((CELLS, cout), dense_out.dtype)], 0
+        [out_cells, jnp.zeros((CELLS, cout), out_cells.dtype)], 0
     )
     rows = dense_out[layout.row_slot.clip(0, dense_out.shape[0] - 1)]
-    valid = layout.row_slot < layout.n_blocks * CELLS
+    valid = layout.row_slot < bb * CELLS
     return jnp.where(valid[:, None], rows.astype(jnp.float32), 0.0)
