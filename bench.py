@@ -19,6 +19,11 @@ from __future__ import annotations
 import json
 import time
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import numpy as np
 
 A100_ME_BASELINE_VOXELS_PER_SEC = 2.0e6

@@ -6,6 +6,12 @@ validates the multi-chip path without real chips.
 """
 
 import os
+import sys
+
+# Repo root importable regardless of the invoking cwd.
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 # Must be set before jax is imported anywhere. Force CPU: the session env may
 # point JAX_PLATFORMS at the remote TPU tunnel, which would send every tiny
