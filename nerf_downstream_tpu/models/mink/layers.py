@@ -81,6 +81,33 @@ class SparseConv(nn.Module):
             from nerf_downstream_tpu.ops.weight_sparse import zaxis_offsets
 
             subset = zaxis_offsets(full_offs)
+
+        if (
+            self.kernel_size == 3
+            and self.stride == 1
+            and self.dilation == 1
+            and subset is None
+            and ctx.use_block_conv()
+        ):
+            # block-dense path: dense lax.conv over 4^3 occupied blocks
+            from nerf_downstream_tpu.ops.block_conv import block_conv3
+
+            layout = ctx.block_layout(sv.coords, sv.mask, sv.stride)
+            w = self.param(
+                "kernel",
+                _kaiming_conv_init,
+                (len(full_offs), cin, self.out_channels),
+            )
+            out_f = block_conv3(
+                layout, sv.feats.astype(self.compute_dtype), sv.mask,
+                w.astype(self.compute_dtype),
+            )
+            if self.use_bias:
+                out_f = out_f + self.param(
+                    "bias", nn.initializers.zeros, (self.out_channels,)
+                )
+            return sv.replace(feats=out_f.astype(self.compute_dtype))
+
         offs = full_offs if subset is None else full_offs[list(subset)]
         if self.stride > 1:
             out_sv = ctx.strided(sv, self.stride)

@@ -38,16 +38,38 @@ class CoordinateContext:
         num_batches: int = 1,
         grid_extent: int | None = None,
         method: str = "auto",
+        block_cap_divisor: int = 4,
     ):
         # grid_extent is configured per dataset (coordinate span in finest
         # voxel units, e.g. ``CoordinateContext.grid_extent = 320`` for
         # PeRFception-ScanNet); None selects the unbounded search builder.
+        # method "block" additionally routes k3/s1 convs through the
+        # block-dense path (ops/block_conv.py); the block capacity is
+        # capacity // block_cap_divisor (tune to data statistics).
         self.num_batches = num_batches
         self.grid_extent = grid_extent
         self.method = method
+        self.block_cap_divisor = block_cap_divisor
         self._kmaps: dict = {}
         self._strided: dict = {}
         self._grids: dict = {}
+        self._block_layouts: dict = {}
+
+    def use_block_conv(self) -> bool:
+        return self.method == "block" and self.grid_extent is not None
+
+    def block_layout(self, coords, mask, stride: int):
+        key = (id(coords), stride)
+        if key not in self._block_layouts:
+            from nerf_downstream_tpu.ops.block_conv import build_block_layout
+
+            self._block_layouts[key] = build_block_layout(
+                coords, mask, stride,
+                max(coords.shape[0] // self.block_cap_divisor, 64),
+                self.num_batches,
+                self.grid_extent or 512,
+            )
+        return self._block_layouts[key]
 
     def strided(self, sv: SparseVoxels, stride: int) -> SparseVoxels:
         key = (id(sv.coords), sv.stride, stride)

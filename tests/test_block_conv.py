@@ -97,3 +97,41 @@ def test_overflow_counted(rng):
         jnp.asarray(coords), jnp.asarray(mask), 1, 8, 1, grid_extent=64
     )
     assert int(layout.overflow) > 0
+
+
+def test_model_forward_block_mode_matches_row(rng):
+    """Res16UNet with CoordinateContext.method='block' == default path."""
+    import jax
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.data.plenoxel import make_synthetic_scene
+    from nerf_downstream_tpu.sparse.types import PointField
+    import jax.numpy as jnp
+
+    cfg.clear_config()
+    sc = make_synthetic_scene(rng, n_voxels=1500, reso=(32, 32, 32),
+                              surface=True)
+    n = len(sc["coords"])
+    cap = 2048
+    coords = np.zeros((cap, 4), np.float32)
+    coords[:n, 1:] = sc["coords"]
+    mask = np.arange(cap) < n
+    field = PointField(
+        coords=jnp.asarray(coords),
+        feats=jnp.asarray(rng.normal(size=(cap, 4)).astype(np.float32)),
+        mask=jnp.asarray(mask),
+    )
+    model = get_model(name="Res16UNet14", out_channel=6, num_batches=1,
+                      planes=(4,) * 8)
+    cfg.parse_config("CoordinateContext.grid_extent = 64")
+    v = model.init(jax.random.PRNGKey(0), field, train=False)
+    out_row = model.apply(v, field, train=False)
+    cfg.parse_config(
+        'CoordinateContext.method = "block"\n'
+        "CoordinateContext.block_cap_divisor = 2\n"
+    )
+    out_block = model.apply(v, field, train=False)
+    cfg.clear_config()
+    np.testing.assert_allclose(
+        np.asarray(out_row), np.asarray(out_block), rtol=1e-3, atol=1e-3
+    )
