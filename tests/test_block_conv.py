@@ -99,6 +99,33 @@ def test_overflow_counted(rng):
     assert int(layout.overflow) > 0
 
 
+def test_context_caps_no_overflow_surface_data(rng):
+    """stride^-2-scaled caps (divisor 3) fit surface-shell data at every
+    pyramid level — overflow silently drops rows, so caps must dominate
+    the occupied-block counts (which thin ~quadratically with stride)."""
+    from nerf_downstream_tpu.sparse.context import CoordinateContext
+    from nerf_downstream_tpu.sparse.kernels import stride_coords
+
+    sc = make_synthetic_scene(rng, n_voxels=6000, reso=(96, 96, 96),
+                              surface=True)
+    n = len(sc["coords"])
+    cap = 8192
+    coords = np.zeros((cap, 4), np.int32)
+    coords[:n, 1:] = sc["coords"]
+    mask = np.arange(cap) < n
+    sv = SparseVoxels(
+        coords=jnp.asarray(coords),
+        feats=jnp.zeros((cap, 1), jnp.float32),
+        mask=jnp.asarray(mask), stride=1,
+    )
+    ctx = CoordinateContext(num_batches=1, grid_extent=96, method="block",
+                            block_cap_divisor=3)
+    for _ in range(4):  # strides 1, 2, 4, 8
+        layout = ctx.block_layout(sv.coords, sv.mask, sv.stride)
+        assert int(layout.overflow) == 0, f"overflow at stride {sv.stride}"
+        sv = stride_coords(sv, 2)
+
+
 def test_model_forward_block_mode_matches_row(rng):
     """Res16UNet with CoordinateContext.method='block' == default path."""
     import jax
