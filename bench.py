@@ -69,16 +69,18 @@ def main():
 
     # dense-grid kernel-map builder: scene coords span 128 voxels.
     # Block mode routes k3/s1 convs through the block-dense path
-    # (ops/block_conv.py): 1.21x train / 1.25x eval whole-model speedup
+    # (ops/block_conv.py): 1.33x train / 1.41x eval whole-model speedup
     # at this occupancy. Block caps scale ~stride^-2 (surface shells thin
-    # quadratically under coarsening); divisor 3 leaves 20-45% headroom
-    # over the measured per-level block counts (17.9k/3.8k/0.85k/0.21k/
-    # 0.03k at strides 1..16). Verified bit-close to the row path (argmax
-    # agreement 99.5%, max |err| 0.007 — bf16 accumulation-order noise).
+    # quadratically under coarsening); divisor 3.5 leaves 4.6% headroom
+    # at stride 1 over this workload's deterministic block counts
+    # (17.9k/3.8k/0.85k/0.21k/0.03k at strides 1..16) — tuned per
+    # dataset like grid_extent. Verified bit-close to the row path
+    # (argmax agreement 99.5%, max |err| 0.007 — bf16 accumulation-order
+    # noise, checked via BlockLayout.overflow == 0 at every level).
     cfg.parse_config(
         "CoordinateContext.grid_extent = 128\n"
         'CoordinateContext.method = "block"\n'
-        "CoordinateContext.block_cap_divisor = 3\n"
+        "CoordinateContext.block_cap_divisor = 3.5\n"
     )
 
     from nerf_downstream_tpu.models import get_model

@@ -72,8 +72,9 @@ class CoordinateContext:
             # them tight while divisor 3 leaves 20-45% headroom at every
             # level. Overflowed blocks would silently drop rows; see
             # BlockLayout.overflow for the diagnostic counter.
+            # divisor may be fractional (per-dataset tuning knob)
             cap = max(
-                coords.shape[0] // (self.block_cap_divisor * stride * stride),
+                int(coords.shape[0] / (self.block_cap_divisor * stride * stride)),
                 64,
             )
             self._block_layouts[key] = build_block_layout(
