@@ -249,11 +249,16 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         if train:
-            mean, var = masked_mean_var(sv.feats, sv.mask, self.axis_name)
+            mean, var, cnt = masked_mean_var(
+                sv.feats, sv.mask, self.axis_name, return_count=True
+            )
             if not self.is_initializing():
                 m = self.momentum
+                # torch/ME BN stores the *unbiased* variance in running_var
+                # (normalization itself uses the biased batch variance).
+                unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * var
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
         out = batch_norm_apply(sv.feats, mean, var, scale, bias, self.eps)

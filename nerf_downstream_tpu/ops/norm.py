@@ -17,9 +17,14 @@ import jax.numpy as jnp
 
 
 def masked_mean_var(
-    feats: jax.Array, mask: jax.Array, axis_name: str | None = None
+    feats: jax.Array, mask: jax.Array, axis_name: str | None = None,
+    return_count: bool = False,
 ):
-    """Mean/var over valid rows per channel; optionally psum across replicas."""
+    """Mean/var over valid rows per channel; optionally psum across replicas.
+
+    With ``return_count=True`` also returns the (psum'd) valid-row count so
+    callers can form the unbiased variance for running statistics (torch BN
+    updates running_var with the n/(n-1) estimate)."""
     m = mask.astype(jnp.float32)[:, None]
     f = feats.astype(jnp.float32)
     cnt = jnp.sum(m)
@@ -32,6 +37,8 @@ def masked_mean_var(
     cnt = jnp.maximum(cnt, 1.0)
     mean = s1 / cnt
     var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    if return_count:
+        return mean, var, cnt
     return mean, var
 
 

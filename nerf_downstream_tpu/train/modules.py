@@ -255,12 +255,18 @@ class SegmentationTraining(BaseTask):
             jnp.where(valid, labels, self.num_labels + 1),
             self.num_labels,
         )
+        n_ignored = jnp.sum(mask & (labels == self.ignore_label))
+        n_rows = jnp.sum(mask)
+        if self.axis_name is not None:
+            # in-step mIoU/ignore_ratio must aggregate the *global* batch —
+            # these flow out of shard_map through replicated out_specs
+            # (parallel/train.py), so shard-local values would silently be
+            # presented as global.
+            hist = jax.lax.psum(hist, self.axis_name)
+            n_ignored = jax.lax.psum(n_ignored, self.axis_name)
+            n_rows = jax.lax.psum(n_rows, self.axis_name)
         ious = M.per_class_iu(hist) * 100
-        ignore_ratio = (
-            100.0
-            * jnp.sum(mask & (labels == self.ignore_label))
-            / jnp.maximum(jnp.sum(mask), 1)
-        )
+        ignore_ratio = 100.0 * n_ignored / jnp.maximum(n_rows, 1)
         return loss, {
             "OA": oa,
             "mIoU": jnp.mean(ious),

@@ -31,11 +31,21 @@ def test_dryrun_multichip_8():
 
 
 def test_parallel_matches_single_device(rng):
-    """The shard_map step must produce the same params as a single-device
-    step on the concatenated global batch."""
+    """One shard_map step over 4 devices must produce the SAME post-step
+    params (and BN stats, loss, mIoU) as one single-device step on the
+    concatenated global batch.
+
+    The two paths have identical sync semantics by construction: the
+    parallel task uses the global-denominator loss + psum'd grads/BN stats,
+    the single-device task sees the whole batch at once — so the comparison
+    can be tight. A broken grad psum or loss denominator fails this test."""
     import jax
 
-    from __graft_entry__ import _make_field_batch
+    from nerf_downstream_tpu.data.plenoxel import make_synthetic_scene
+    from nerf_downstream_tpu.data.utils import (
+        collate_mink,
+        collate_mink_sharded,
+    )
     from nerf_downstream_tpu.models import get_model
     from nerf_downstream_tpu.parallel.mesh import (
         make_mesh,
@@ -46,15 +56,32 @@ def test_parallel_matches_single_device(rng):
     from nerf_downstream_tpu.train.modules import SegmentationTraining
 
     n = 4
-    batch = _make_field_batch(
-        rng, capacity=256, n_valid=128, batches=1, shards=n
-    )
-    batch.pop("metadata", None)
-    batch.pop("shards", None)
+    samples = []
+    for _ in range(n):
+        sc = make_synthetic_scene(
+            rng, n_voxels=128, reso=(32, 32, 32), with_labels=True,
+            num_classes=8,
+        )
+        samples.append(
+            {
+                "coordinates": sc["coords"].astype(np.float32),
+                "features": np.concatenate(
+                    [sc["density"], sc["sh"]], 1
+                ).astype(np.float32),
+                "labels": sc["labels"],
+            }
+        )
+    # identical samples, two layouts: one scene per shard vs 4 scenes in one
+    # global batch (batch-id column keeps kernel maps per-scene in both)
+    batch_p = collate_mink_sharded(samples, n, capacity_per_shard=256)
+    batch_p.pop("metadata", None)
+    batch_p.pop("shards", None)
+    batch_s = collate_mink(samples, capacity=4 * 256)
+    batch_s.pop("metadata", None)
 
-    def build(axis_name):
+    def build(axis_name, num_batches):
         model = get_model(
-            name="Res16UNet14", out_channel=8, num_batches=1,
+            name="Res16UNet14", out_channel=8, num_batches=num_batches,
             planes=(8,) * 8, bn_axis_name=axis_name,
         )
         return SegmentationTraining(
@@ -62,63 +89,54 @@ def test_parallel_matches_single_device(rng):
             ignore_label=-100, axis_name=axis_name,
         )
 
-    # single-device global step: run over the whole batch as one shard,
-    # with batch ids made global
-    task_p = build("data")
+    task_p = build("data", 1)
+    task_s = build(None, n)
     local = {
         k: v[: v.shape[0] // n] if np.ndim(v) >= 1 else v
-        for k, v in batch.items()
+        for k, v in batch_p.items()
     }
-    state0 = task_p.create_state(jax.random.PRNGKey(0), local)
+    state_p0 = task_p.create_state(jax.random.PRNGKey(0), local)
+    state_s0 = task_s.create_state(jax.random.PRNGKey(0), batch_s)
+    # same architecture => identical init trees
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b),
+        state_p0.params, state_s0.params,
+    )
 
-    # reference: manual global-batch loss (computed before the parallel step
-    # donates the state buffers)
-    task_s = build(None)
-    state_s = state0
-
-    def shard_slice(i):
-        m = batch["coordinates"].shape[0] // n
-        out = {}
-        for k, v in batch.items():
-            if np.ndim(v) >= 1 and v.shape[0] % n == 0:
-                out[k] = v[i * (v.shape[0] // n) : (i + 1) * (v.shape[0] // n)]
-            else:
-                out[k] = v
-        return out
-
-    import jax.numpy as jnp
-
-    def global_loss(params):
-        total_num = 0.0
-        total_den = 0.0
-        for i in range(n):
-            b = shard_slice(i)
-            logits, _ = task_s._apply(params, state_s.batch_stats, b, True)
-            labels = jnp.asarray(b["labels"], jnp.int32)
-            valid = jnp.asarray(b["mask"], bool) & (labels != -100)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            nll = -jnp.take_along_axis(
-                logp, jnp.clip(labels, 0, 7)[:, None], -1
-            )[:, 0]
-            w = valid.astype(jnp.float32)
-            total_num = total_num + jnp.sum(nll * w)
-            total_den = total_den + jnp.sum(w)
-        return total_num / jnp.maximum(total_den, 1e-8)
-
-    ls = float(global_loss(state_s.params))
+    step_s = task_s.make_train_step(donate=False)
+    state_s1, mets_s = step_s(state_s0, batch_s)
 
     mesh = make_mesh(n)
     step_p = make_parallel_train_step(task_p, mesh)
-    state_p, mets_p = step_p(
-        replicate(mesh, state0), shard_leading(mesh, batch)
+    state_p1, mets_p = step_p(
+        replicate(mesh, state_p0), shard_leading(mesh, batch_p)
     )
-    # NB: BN stats differ (per-shard vs global) between the two paths, so
-    # compare through the *loss value*: the parallel loss must match the
-    # global loss at init.
-    lp = float(np.asarray(mets_p["loss"]))
-    # parallel path uses synced BN while manual loop uses per-shard BN; on
-    # identical per-shard distributions these agree closely
-    np.testing.assert_allclose(lp, ls, rtol=0.05)
-    assert np.isfinite(
-        np.asarray(jax.tree_util.tree_leaves(state_p.params)[0])
-    ).all()
+
+    # parallel loss is psum'd across shards of the global-denominator loss;
+    # the single-device loss IS the global loss
+    np.testing.assert_allclose(
+        float(np.asarray(mets_p["loss"])),
+        float(np.asarray(mets_s["loss"])),
+        rtol=1e-5,
+    )
+    # in-step metrics must be global on both paths (psum'd hist / counts)
+    for key in ("OA", "mIoU", "ignore_ratio"):
+        np.testing.assert_allclose(
+            float(np.asarray(mets_p[key])),
+            float(np.asarray(mets_s[key])),
+            rtol=1e-4, atol=1e-4, err_msg=key,
+        )
+    # post-step params: tight — catches any grad-psum / denominator error
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        state_p1.params, state_s1.params,
+    )
+    # BN running stats sync the same way (psum'd == global-batch)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        state_p1.batch_stats, state_s1.batch_stats,
+    )
