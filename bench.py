@@ -68,19 +68,19 @@ def main():
     from nerf_downstream_tpu import config as cfg
 
     # dense-grid kernel-map builder: scene coords span 128 voxels.
-    # Block mode routes k3/s1 convs through the block-dense path
-    # (ops/block_conv.py): 1.33x train / 1.41x eval whole-model speedup
-    # at this occupancy. Block caps scale ~stride^-2 (surface shells thin
-    # quadratically under coarsening); divisor 3.5 leaves 4.6% headroom
-    # at stride 1 over this workload's deterministic block counts
-    # (17.9k/3.8k/0.85k/0.21k/0.03k at strides 1..16) — tuned per
-    # dataset like grid_extent. Verified bit-close to the row path
-    # (argmax agreement 99.5%, max |err| 0.007 — bf16 accumulation-order
-    # noise, checked via BlockLayout.overflow == 0 at every level).
+    # Block-resident mode keeps each stride level in the dense block layout
+    # end-to-end (ops/block_resident.py): k3/s1 convs run halo+lax.conv on
+    # resident cells, k2/s2 transitions are in-block einsums + one re-block
+    # scatter — no per-conv densify/undensify. Per-level block caps come
+    # from this workload's measured occupied-block counts
+    # (17.9k/3.8k/0.85k/0.21k/0.03k at strides 1..16) with ~10% slack —
+    # per-dataset statistics, like grid_extent. The overflow guard
+    # NaN-poisons a level if a cap is ever exceeded (fail loud), so a
+    # throughput number from a silently-truncated run is impossible.
     cfg.parse_config(
         "CoordinateContext.grid_extent = 128\n"
-        'CoordinateContext.method = "block"\n'
-        "CoordinateContext.block_cap_divisor = 3.5\n"
+        'CoordinateContext.method = "block_resident"\n'
+        "CoordinateContext.block_caps = (19712, 4224, 960, 256, 64)\n"
     )
 
     from nerf_downstream_tpu.models import get_model

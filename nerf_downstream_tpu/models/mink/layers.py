@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from nerf_downstream_tpu.ops import block_resident as br
+from nerf_downstream_tpu.ops.block_resident import BlockVoxels
 from nerf_downstream_tpu.ops.norm import (
     batch_norm_apply,
     instance_norm_stats,
@@ -31,6 +33,15 @@ from nerf_downstream_tpu.ops.sparse_conv import sparse_conv_apply
 from nerf_downstream_tpu.sparse import kernel_offsets
 from nerf_downstream_tpu.sparse.context import CoordinateContext
 from nerf_downstream_tpu.sparse.types import SparseVoxels
+
+
+def as_rows(sv):
+    """Materialize a block-resident level back to row features (no-op on
+    SparseVoxels) — the boundary for row-semantics consumers (field slicing,
+    interpolation, per-point heads)."""
+    if isinstance(sv, BlockVoxels):
+        return br.to_rows(sv)
+    return sv
 
 
 def _kaiming_conv_init(key, shape, dtype=jnp.float32):
@@ -64,8 +75,9 @@ class SparseConv(nn.Module):
         cin = sv.num_channels
         if self.kernel_size == 1 and self.stride == 1:
             w = self.param("kernel", _kaiming_conv_init, (1, cin, self.out_channels))
+            feats = sv.feats if isinstance(sv, BlockVoxels) else sv.masked_feats()
             out_f = jnp.dot(
-                sv.masked_feats().astype(self.compute_dtype),
+                feats.astype(self.compute_dtype),
                 w[0].astype(self.compute_dtype),
                 preferred_element_type=jnp.float32,
             )
@@ -73,6 +85,8 @@ class SparseConv(nn.Module):
                 out_f = out_f + self.param(
                     "bias", nn.initializers.zeros, (self.out_channels,)
                 )
+                if isinstance(sv, BlockVoxels):
+                    out_f = jnp.where(sv.mask[:, None], out_f, 0)
             return sv.replace(feats=out_f)
 
         full_offs = kernel_offsets(self.kernel_size, sv.stride, self.dilation)
@@ -81,6 +95,55 @@ class SparseConv(nn.Module):
             from nerf_downstream_tpu.ops.weight_sparse import zaxis_offsets
 
             subset = zaxis_offsets(full_offs)
+
+        blockable = self.dilation == 1 and subset is None and (
+            (self.kernel_size == 3 and self.stride == 1)
+            or (self.kernel_size == 2 and self.stride == 2)
+            or (self.kernel_size == 1 and self.stride == 2)
+        )
+        if ctx.use_block_resident() and blockable:
+            if not isinstance(sv, BlockVoxels):
+                sv = ctx.to_block(sv)
+            if sv.feats.dtype != self.compute_dtype:
+                sv = sv.replace(feats=sv.feats.astype(self.compute_dtype))
+            w = self.param(
+                "kernel",
+                _kaiming_conv_init,
+                (len(full_offs), cin, self.out_channels),
+            )
+            w = w.astype(self.compute_dtype)
+            if self.kernel_size == 3:  # s=1: stay on this level's cells
+                out = sv.replace(feats=br.conv3_cells(sv, w))
+            else:  # k2/s2 or k1/s2: in-block transition to the coarser level
+                coarse_sv, coarse_layout, coarse_cmask, trans = (
+                    ctx.level_transition(sv)
+                )
+                if self.kernel_size == 2:
+                    out_f = br.down_conv2(
+                        sv, w, coarse_layout, trans, self.out_channels
+                    )
+                else:
+                    out_f = br.down_sample_conv1(sv, w[0], coarse_layout, trans)
+                if ctx.overflow_guard:
+                    out_f = br.overflow_poison(out_f, coarse_layout)
+                out = BlockVoxels(
+                    coords=coarse_sv.coords,
+                    row_mask=coarse_sv.mask,
+                    feats=out_f,
+                    mask=coarse_cmask,
+                    layout=coarse_layout,
+                    stride=coarse_sv.stride,
+                )
+            if self.use_bias:
+                out_f = out.feats + self.param(
+                    "bias", nn.initializers.zeros, (self.out_channels,)
+                )
+                out_f = jnp.where(out.mask[:, None], out_f, 0)
+                out = out.replace(feats=out_f)
+            return out.replace(feats=out.feats.astype(self.compute_dtype))
+
+        if isinstance(sv, BlockVoxels):  # unsupported shape: leave the level
+            sv = br.to_rows(sv)
 
         if (
             self.kernel_size == 3
@@ -165,6 +228,57 @@ class SparseConvTranspose(nn.Module):
         self, sv: SparseVoxels, ctx: CoordinateContext, target: SparseVoxels
     ) -> SparseVoxels:
         cin = sv.num_channels
+        if (
+            ctx.use_block_resident()
+            and self.kernel_size == 2
+            and self.upsample_stride == 2
+            and self.dilation == 1
+        ):
+            if not isinstance(sv, BlockVoxels):
+                sv = ctx.to_block(sv)
+            if sv.feats.dtype != self.compute_dtype:
+                sv = sv.replace(feats=sv.feats.astype(self.compute_dtype))
+            t_mask = (
+                target.row_mask if isinstance(target, BlockVoxels) else target.mask
+            )
+            # the decoder's fine->coarse transition is the one the encoder's
+            # down conv built (same coordinate objects -> ctx cache hit)
+            _, _, _, trans = ctx.level_transition_for(
+                target.coords, t_mask, target.stride, sv.feats.dtype
+            )
+            fine_layout = ctx.block_layout(target.coords, t_mask, target.stride)
+            fine_cmask = ctx.cell_mask(fine_layout)
+            offs = kernel_offsets(self.kernel_size, target.stride, self.dilation)
+            w = self.param(
+                "kernel", _kaiming_conv_init, (len(offs), cin, self.out_channels)
+            )
+            out_f = br.up_conv2(
+                sv, w.astype(self.compute_dtype), fine_layout, fine_cmask,
+                trans, self.out_channels,
+            )
+            if ctx.overflow_guard:
+                out_f = br.overflow_poison(out_f, fine_layout)
+            if self.use_bias:
+                out_f = jnp.where(
+                    fine_cmask[:, None],
+                    out_f + self.param(
+                        "bias", nn.initializers.zeros, (self.out_channels,)
+                    ),
+                    0,
+                )
+            return BlockVoxels(
+                coords=target.coords,
+                row_mask=t_mask,
+                feats=out_f.astype(self.compute_dtype),
+                mask=fine_cmask,
+                layout=fine_layout,
+                stride=target.stride,
+            )
+
+        if isinstance(sv, BlockVoxels):
+            sv = br.to_rows(sv)
+        if isinstance(target, BlockVoxels):
+            target = br.to_rows(target)
         # offsets are in units of the *finer* (output) tensor stride —
         # the adjoint of the forward conv that produced ``sv`` from ``target``.
         offs = kernel_offsets(
@@ -212,6 +326,27 @@ class SparsePool(nn.Module):
 
     @nn.compact
     def __call__(self, sv: SparseVoxels, ctx: CoordinateContext) -> SparseVoxels:
+        if (
+            isinstance(sv, BlockVoxels)
+            and self.kernel_size == 2
+            and self.stride == 2
+        ):
+            coarse_sv, coarse_layout, coarse_cmask, trans = (
+                ctx.level_transition(sv)
+            )
+            out_f = br.pool2_cells(sv, self.mode, coarse_layout, trans)
+            if ctx.overflow_guard:
+                out_f = br.overflow_poison(out_f, coarse_layout)
+            return BlockVoxels(
+                coords=coarse_sv.coords,
+                row_mask=coarse_sv.mask,
+                feats=out_f,
+                mask=coarse_cmask,
+                layout=coarse_layout,
+                stride=coarse_sv.stride,
+            )
+        if isinstance(sv, BlockVoxels):
+            sv = br.to_rows(sv)
         offs = kernel_offsets(self.kernel_size, sv.stride)
         out_sv = ctx.strided(sv, self.stride) if self.stride > 1 else sv
         km = ctx.kernel_map(
@@ -262,6 +397,8 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         out = batch_norm_apply(sv.feats, mean, var, scale, bias, self.eps)
+        if isinstance(sv, BlockVoxels):  # keep unoccupied cells zero
+            out = jnp.where(sv.mask[:, None], out, 0)
         return sv.replace(feats=out)
 
 
@@ -273,7 +410,10 @@ class MinkLayerNorm(nn.Module):
         c = sv.num_channels
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return sv.replace(feats=layer_norm(sv.feats, scale, bias, self.eps))
+        out = layer_norm(sv.feats, scale, bias, self.eps)
+        if isinstance(sv, BlockVoxels):
+            out = jnp.where(sv.mask[:, None], out, 0)
+        return sv.replace(feats=out)
 
 
 class MinkInstanceNorm(nn.Module):
@@ -293,7 +433,10 @@ class MinkInstanceNorm(nn.Module):
         f = (sv.feats.astype(jnp.float32) - mean) * jax.lax.rsqrt(
             var + self.eps
         )
-        return sv.replace(feats=(f * scale + bias).astype(sv.feats.dtype))
+        out = (f * scale + bias).astype(sv.feats.dtype)
+        if isinstance(sv, BlockVoxels):
+            out = jnp.where(sv.mask[:, None], out, 0)
+        return sv.replace(feats=out)
 
 
 NONLINEARITIES: dict[str, Callable] = {
@@ -319,7 +462,12 @@ def get_nonlinearity(name: str) -> Callable:
     fn = NONLINEARITIES[name]
 
     def apply(sv: SparseVoxels) -> SparseVoxels:
-        return sv.replace(feats=fn(sv.feats))
+        out = fn(sv.feats)
+        if isinstance(sv, BlockVoxels):
+            # sigmoid/others don't map 0 -> 0; keep unoccupied cells zero
+            # (the select fuses into the elementwise op)
+            out = jnp.where(sv.mask[:, None], out, 0)
+        return sv.replace(feats=out)
 
     return apply
 

@@ -24,6 +24,7 @@ from nerf_downstream_tpu.models.mink.blocks import BLOCKS
 from nerf_downstream_tpu.models.mink.layers import (
     SparseConv,
     SparseConvTranspose,
+    as_rows,
     cat,
     get_nonlinearity,
     make_norm,
@@ -138,10 +139,10 @@ class Res16UNet(nn.Module):
         out = cat(out, out_p1)
         out = self._stage(out, ctx, train, 7)
 
-        logits_sv = SparseConv(
+        logits_sv = as_rows(SparseConv(
             self.out_channel, 1, 1, use_bias=True,
             compute_dtype=self.compute_dtype, name="final",
-        )(out, ctx)
+        )(out, ctx))
 
         if self.insseg:
             off = SparseConv(
@@ -150,10 +151,10 @@ class Res16UNet(nn.Module):
             )(out, ctx)
             off = self._norm()(off, train)
             off = get_nonlinearity(self.nonlinearity)(off)
-            off = SparseConv(
+            off = as_rows(SparseConv(
                 3, 1, 1, use_bias=True, compute_dtype=self.compute_dtype,
                 name="offset_conv2",
-            )(off, ctx)
+            )(off, ctx))
             off_field = sparse_to_field(off, field, p2v)
             logits_field = sparse_to_field(logits_sv, field, p2v)
             return off_field.feats, logits_field.feats

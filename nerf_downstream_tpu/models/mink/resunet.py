@@ -98,6 +98,9 @@ class ResUNet2(nn.Module):
             self.out_channel, 1, 1, use_bias=True,
             compute_dtype=self.compute_dtype, name="final",
         )(out, ctx)
+        from nerf_downstream_tpu.models.mink.layers import as_rows
+
+        out = as_rows(out)
         feats = out.feats
         if self.normalize_feature:
             feats = feats / jnp.maximum(

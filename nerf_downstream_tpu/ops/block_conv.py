@@ -64,6 +64,20 @@ class BlockLayout:
     n_blocks: int = flax.struct.field(pytree_node=False, default=0)
 
 
+def block_grid(block_coords, block_mask, num_batches: int, grid_extent: int):
+    """Dense grid index over *block* coordinates (shared by the neighbor
+    table and the level-transition lookup). Returns (grid, origin, extent)."""
+    from nerf_downstream_tpu.sparse.kernels import build_grid_index
+
+    block_extent = 1 << max(
+        1, int(np.ceil(np.log2(max(grid_extent // BLOCK, 2))))
+    )
+    bgrid, borigin = build_grid_index(
+        block_coords, block_mask, num_batches, block_extent, 1
+    )
+    return bgrid, borigin, block_extent
+
+
 def build_block_layout(coords, mask, stride: int, n_blocks_cap: int,
                        num_batches: int, grid_extent: int = 512):
     """Partition rows into 4^3 blocks.
@@ -93,16 +107,10 @@ def build_block_layout(coords, mask, stride: int, n_blocks_cap: int,
 
     # neighbor table via a dense grid over block coords (binary search costs
     # ~100ms at bench scale; the grid lookup is one scalar gather)
-    from nerf_downstream_tpu.sparse.kernels import (
-        build_grid_index,
-        build_kernel_map_grid,
-    )
+    from nerf_downstream_tpu.sparse.kernels import build_kernel_map_grid
 
-    block_extent = 1 << max(
-        1, int(np.ceil(np.log2(max(grid_extent // BLOCK, 2))))
-    )
-    bgrid, borigin = build_grid_index(
-        block_coords, block_mask, num_batches, block_extent, 1
+    bgrid, borigin, block_extent = block_grid(
+        block_coords, block_mask, num_batches, grid_extent
     )
     nbr = build_kernel_map_grid(
         bgrid, borigin, num_batches, block_extent, 1, n_blocks_cap,

@@ -38,25 +38,42 @@ class CoordinateContext:
         num_batches: int = 1,
         grid_extent: int | None = None,
         method: str = "auto",
-        block_cap_divisor: int = 4,
+        block_cap_divisor: float = 3,
+        block_caps: tuple | None = None,
+        overflow_guard: bool = True,
     ):
         # grid_extent is configured per dataset (coordinate span in finest
         # voxel units, e.g. ``CoordinateContext.grid_extent = 320`` for
         # PeRFception-ScanNet); None selects the unbounded search builder.
-        # method "block" additionally routes k3/s1 convs through the
-        # block-dense path (ops/block_conv.py); the block capacity is
-        # capacity // block_cap_divisor (tune to data statistics).
+        # method "block" routes k3/s1 convs through the block-dense path
+        # (ops/block_conv.py, densify per conv); "block_resident" keeps each
+        # stride level in the dense block layout end-to-end
+        # (ops/block_resident.py). Block capacity per level: block_caps[i]
+        # (i = log2 of the level's relative stride, from dataset statistics)
+        # when given, else capacity // (block_cap_divisor * stride^2) —
+        # surface shells thin ~quadratically under coarsening. With
+        # overflow_guard, a level whose occupied blocks exceed the cap
+        # poisons its features with NaN (fail loud, never train on
+        # silently-truncated inputs).
         self.num_batches = num_batches
         self.grid_extent = grid_extent
         self.method = method
         self.block_cap_divisor = block_cap_divisor
+        self.block_caps = block_caps
+        self.overflow_guard = overflow_guard
         self._kmaps: dict = {}
         self._strided: dict = {}
         self._grids: dict = {}
         self._block_layouts: dict = {}
+        self._block_grids: dict = {}
+        self._cell_masks: dict = {}
+        self._transitions: dict = {}
 
     def use_block_conv(self) -> bool:
         return self.method == "block" and self.grid_extent is not None
+
+    def use_block_resident(self) -> bool:
+        return self.method == "block_resident" and self.grid_extent is not None
 
     def block_layout(self, coords, mask, stride: int):
         key = (id(coords), stride)
@@ -73,15 +90,82 @@ class CoordinateContext:
             # level. Overflowed blocks would silently drop rows; see
             # BlockLayout.overflow for the diagnostic counter.
             # divisor may be fractional (per-dataset tuning knob)
-            cap = max(
-                int(coords.shape[0] / (self.block_cap_divisor * stride * stride)),
-                64,
-            )
+            if self.block_caps is not None:
+                level = max(0, int(round(float(np.log2(stride)))))
+                cap = int(
+                    self.block_caps[min(level, len(self.block_caps) - 1)]
+                )
+            else:
+                cap = max(
+                    int(coords.shape[0] / (self.block_cap_divisor * stride * stride)),
+                    64,
+                )
+            # occupied blocks can never exceed valid rows, and layouts with
+            # cap > capacity would break the sentinel convention
+            cap = min(cap, coords.shape[0])
             self._block_layouts[key] = build_block_layout(
                 coords, mask, stride, cap, self.num_batches,
                 self.grid_extent or 512,
             )
         return self._block_layouts[key]
+
+    def cell_mask(self, layout):
+        key = id(layout)
+        if key not in self._cell_masks:
+            from nerf_downstream_tpu.ops.block_resident import cell_mask_of
+
+            self._cell_masks[key] = cell_mask_of(layout)
+        return self._cell_masks[key]
+
+    def to_block(self, sv):
+        """Enter the block-resident layout for ``sv``'s level (cached maps)."""
+        from nerf_downstream_tpu.ops import block_resident as br
+
+        layout = self.block_layout(sv.coords, sv.mask, sv.stride)
+        return br.to_block(
+            sv, layout, self.cell_mask(layout), guard=self.overflow_guard
+        )
+
+    def level_transition(self, bv):
+        """(coarse SparseVoxels, coarse layout, coarse cell mask, transition)
+        for the stride-2 step down from block-resident level ``bv``."""
+        return self.level_transition_for(
+            bv.coords, bv.row_mask, bv.stride, bv.feats.dtype
+        )
+
+    def level_transition_for(self, coords, row_mask, stride, dtype):
+        key = (id(coords), stride)
+        if key not in self._transitions:
+            from nerf_downstream_tpu.ops import block_resident as br
+            from nerf_downstream_tpu.ops.block_conv import block_grid
+
+            fine_sv = SparseVoxels(
+                coords=coords,
+                feats=jnp.zeros((coords.shape[0], 0), dtype),
+                mask=row_mask,
+                stride=stride,
+            )
+            coarse_sv = self.strided(fine_sv, 2)
+            coarse_layout = self.block_layout(
+                coarse_sv.coords, coarse_sv.mask, coarse_sv.stride
+            )
+            gkey = (id(coarse_sv.coords), coarse_sv.stride)
+            if gkey not in self._block_grids:
+                self._block_grids[gkey] = block_grid(
+                    coarse_layout.block_coords,
+                    coarse_layout.block_mask,
+                    self.num_batches,
+                    self.grid_extent or 512,
+                )
+            grid, origin, extent = self._block_grids[gkey]
+            trans = br.build_level_transition(
+                self.block_layout(coords, row_mask, stride),
+                coarse_layout, grid, origin, self.num_batches, extent,
+            )
+            self._transitions[key] = (
+                coarse_sv, coarse_layout, self.cell_mask(coarse_layout), trans
+            )
+        return self._transitions[key]
 
     def strided(self, sv: SparseVoxels, stride: int) -> SparseVoxels:
         key = (id(sv.coords), sv.stride, stride)

@@ -160,7 +160,13 @@ class Trainer:
     def _emit_train_logs(self, step: int, mets):
         host = {k: float(np.asarray(v)) for k, v in mets.items()}
         if not np.isfinite(host.get("loss", 0.0)):
-            raise ValueError(f"Invalid loss: {host['loss']}")
+            raise ValueError(
+                f"Invalid loss: {host['loss']}. If CoordinateContext.method "
+                "is a block mode, a non-finite loss usually means a block-cap "
+                "overflow (the guard NaN-poisons truncated levels): raise "
+                "CoordinateContext.block_caps / lower block_cap_divisor for "
+                "this dataset's block statistics."
+            )
         out = {f"train/{k}": v for k, v in host.items()}
         out["train/lr"] = self.task.current_lr(step)
         out["train/data_time"] = self.profiler.recorded_time("get_train_batch")

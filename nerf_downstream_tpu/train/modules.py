@@ -36,6 +36,32 @@ from nerf_downstream_tpu.train.optim import get_optimizer, get_scheduler
 from nerf_downstream_tpu.train.state import TrainState
 
 
+def split_ema_state(batch_stats):
+    """Split out PowerNorm ``ema_gz`` leaves (flat path dict) from a
+    batch_stats tree.
+
+    The reference PowerNorm updates ``ema_gz`` during the backward pass
+    (powernorm.py:99-139); functionally, the train step differentiates the
+    loss w.r.t. these leaves and the custom VJP returns the *new buffer
+    value* as their cotangent (models/mink/powernorm.py::_power_core_bwd).
+    """
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(dict(batch_stats))
+    ema = {k: v for k, v in flat.items() if k[-1] == "ema_gz"}
+    return flat, ema
+
+
+def merge_ema_state(new_stats, new_ema):
+    """Overwrite the ema_gz leaves of ``new_stats`` with the values the
+    backward pass produced."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(dict(new_stats))
+    flat.update(new_ema)
+    return traverse_util.unflatten_dict(flat)
+
+
 class BaseTask:
     def __init__(
         self,
@@ -154,17 +180,32 @@ class BaseTask:
 
         def train_step(state: TrainState, batch):
             rng = jax.random.fold_in(base_key, state.step)
+            flat_stats, ema = split_ema_state(state.batch_stats)
 
-            def loss_fn(params):
+            def loss_fn(params, ema_in):
+                from flax import traverse_util
+
+                bs = dict(flat_stats)
+                bs.update(ema_in)
                 logits, new_stats = self._apply(
-                    params, state.batch_stats, batch, train=True, rng=rng
+                    params, traverse_util.unflatten_dict(bs), batch,
+                    train=True, rng=rng,
                 )
                 loss, mets = self.loss_and_metrics(logits, batch)
                 return loss, (new_stats, mets)
 
-            (loss, (new_stats, mets)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
+            if ema:
+                # PowerNorm: the ema_gz "cotangents" are the new buffer values
+                (loss, (new_stats, mets)), (grads, new_ema) = (
+                    jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                        state.params, ema
+                    )
+                )
+                new_stats = merge_ema_state(new_stats, new_ema)
+            else:
+                (loss, (new_stats, mets)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, ema)
             new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
             mets = dict(mets, loss=loss)
             return new_state, mets
