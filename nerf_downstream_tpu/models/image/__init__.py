@@ -24,7 +24,12 @@ class _ResNetBased(nn.Module):
     model: str = "resnet18"
     dropout_rate: float = 0.2
     num_classes: int = 51
+    pretrained: bool = False
     dtype: Any = jnp.float32
+
+    # weight-import metadata (models/image/torch_weights.py)
+    pretrained_arch = property(lambda self: self.model)
+    pretrained_submodule = "model"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,27 +44,23 @@ class _ResNetBased(nn.Module):
 def ResNetBased(model: str = "resnet18", dropout_rate: float = 0.2,
                 pretrained: bool = False, num_classes: int = 51,
                 dtype=jnp.float32):
-    if pretrained:
-        logging.warning(
-            "pretrained=True requested but no pretrained weights ship with "
-            "this zero-egress build; training from scratch. Load converted "
-            "weights via LitModel checkpoint_path instead."
-        )
+    # pretrained weights load from the local converted store at state
+    # creation (LitModel.create_state -> torch_weights.apply_pretrained);
+    # the reference's torch.hub download (models.py:17-22) has no place in a
+    # zero-egress build.
     return _ResNetBased(
         model=model, dropout_rate=dropout_rate, num_classes=num_classes,
-        dtype=dtype,
+        pretrained=pretrained, dtype=dtype,
     )
 
 
 @cfg.configurable("ViTBased")
 def ViTBased(model: str = "vit_small_patch16_224", pretrained: bool = False,
              num_classes: int = 51, dtype=jnp.float32):
-    if pretrained:
-        logging.warning(
-            "pretrained=True requested but no pretrained weights available; "
-            "training from scratch."
-        )
-    return ViT(num_classes=num_classes, dtype=dtype, **VIT_SPECS[model])
+    return ViT(
+        num_classes=num_classes, dtype=dtype, pretrained=pretrained,
+        pretrained_arch=model, **VIT_SPECS[model],
+    )
 
 
 def select_model(model_name: str):

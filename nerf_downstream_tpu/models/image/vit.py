@@ -20,7 +20,9 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU — timm's nn.GELU; the tanh approximation drifts
+        # ~1e-3 per activation, visibly off imported-weight logits
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype)(x)
 
 
@@ -61,6 +63,11 @@ class ViT(nn.Module):
     patch: int = 16
     layer_scale: float | None = None
     dtype: Any = jnp.float32
+    pretrained: bool = False
+    pretrained_arch: str = ""
+
+    # backbone params sit at the module root; only the head is fresh
+    pretrained_submodule = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -80,6 +80,16 @@ class LitModel:
                 {"params": r, "dropout": r}, x, train=False
             )
         )(rng, imgs)
+        if getattr(self.model, "pretrained", False):
+            from nerf_downstream_tpu.models.image.torch_weights import (
+                apply_pretrained,
+            )
+
+            variables = apply_pretrained(
+                dict(variables),
+                self.model.pretrained_arch,
+                self.model.pretrained_submodule,
+            )
         return TrainState.create(
             self.model.apply,
             variables["params"],
