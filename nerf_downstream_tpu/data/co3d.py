@@ -68,7 +68,9 @@ class Co3DDatasetBase:
         num_points: int = -1,
         features: List[str] = ("sh",),
         filelist_dir: str | None = None,
+        apply_downsample: bool = False,
     ):
+        self.apply_downsample = apply_downsample
         phase = "test" if phase in ("val", "test") else "train"
         names = train_transformations if phase == "train" else eval_transformations
         self.transformations = T.build(names)
@@ -121,10 +123,17 @@ class Co3DDatasetBase:
         data = self.load_data(inst_id)
         coords = np.asarray(data["coords"], np.float32)
         density_sh = np.concatenate([data["density"], data["sh"]], axis=1)
-        coords, density_sh = self.downsample(coords, density_sh)
+        if self.apply_downsample:
+            # the reference accepts downsample_stride but its Co3D __getitem__
+            # never calls downsample (co3d.py:206 is commented out) — the
+            # parameter is dead there; off by default for parity
+            coords, density_sh = self.downsample(coords, density_sh)
 
-        # normalize xyzs to the unit sphere (centering over points)
-        xyzs = coords - coords.mean(axis=0, keepdims=True)
+        # "normalize xyzs to fit in unit sphere" — the reference centers each
+        # point by its OWN coordinate mean (co3d.py:211 ``mean(dim=1)``, i.e.
+        # per-row, not the centroid); replicated verbatim so features match
+        # reference-trained checkpoints byte for byte.
+        xyzs = coords - coords.mean(axis=1, keepdims=True)
         max_norm = np.linalg.norm(xyzs, axis=1).max() or 1.0
         xyzs = xyzs / max_norm
         raw = np.concatenate([xyzs, density_sh], axis=1).astype(np.float32)
