@@ -121,16 +121,9 @@ def write_ply(path: str, xyz: np.ndarray, colors=None, labels=None):
         for j in range(c.shape[1] if c.ndim > 1 else 1):
             arr[dtype.names[i]] = c[:, j] if c.ndim > 1 else c
             i += 1
+    _NAMES = {"f4": "float", "u1": "uchar", "u2": "ushort"}
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
-    header += [
-        f"property {k} {v}"
-        for k, v in zip(
-            [p[0] for p in props],
-            ["float", "float", "float", "uchar", "uchar", "uchar", "ushort"][
-                : len(props)
-            ],
-        )
-    ]
+    header += [f"property {_NAMES[t]} {name}" for name, t in props]
     header.append("end_header")
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode("ascii"))

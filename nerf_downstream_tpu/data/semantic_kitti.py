@@ -130,7 +130,8 @@ class SemanticKITTIDataset:
             xyzi = xyzi[keep]
             labels = qlabels
 
-        xyzs, xyzi, labels = self.transformations(xyzs, xyzi, labels)
+        if self.transformations is not None:
+            xyzs, xyzi, labels = self.transformations(xyzs, xyzi, labels)
         xyzi = xyzi.copy()
         xyzi[:, :3] = xyzs[:, :3]
         feats = select_features(
