@@ -10,9 +10,20 @@ import jax.numpy as jnp
 
 from nerf_downstream_tpu.models.mink.layers import (
     SparseConv,
+    as_rows,
     get_nonlinearity,
     make_norm,
 )
+from nerf_downstream_tpu.ops.block_resident import BlockVoxels
+
+
+def _aligned(out, residual):
+    """Residual adds need both branches in the same representation: a
+    stride-2 main branch (k3/s2 -> row fallback) can meet a block-resident
+    shortcut (k1/s2 stays in-block) — materialize both to rows then."""
+    if isinstance(out, BlockVoxels) != isinstance(residual, BlockVoxels):
+        return as_rows(out), as_rows(residual)
+    return out, residual
 from nerf_downstream_tpu.sparse.context import CoordinateContext
 from nerf_downstream_tpu.sparse.types import SparseVoxels
 
@@ -71,6 +82,7 @@ class BasicBlock(nn.Module):
         else:
             residual = sv
 
+        out, residual = _aligned(out, residual)
         out = out.replace(feats=out.feats + residual.feats)
         return non(out)
 
@@ -133,6 +145,7 @@ class Bottleneck(nn.Module):
         else:
             residual = sv
 
+        out, residual = _aligned(out, residual)
         out = out.replace(feats=out.feats + residual.feats)
         return non(out)
 

@@ -187,6 +187,24 @@ def test_level_transition_ops_match_row_path(rng):
         )
 
 
+def test_resnet_with_pool_and_strided_blocks_matches_row(rng):
+    """ResNet exercises SparsePool k2/s2 in-block, stride-2 blocks whose
+    main branch (k3/s2) falls back to rows while the k1/s2 shortcut stays
+    block-resident (the mixed-representation residual-add path)."""
+    from nerf_downstream_tpu.models import get_model
+
+    field, mask = _field(rng, batches=1, n_voxels=1200, cap=2048)
+    model = get_model(
+        name="ResNet14", out_channel=6, num_batches=1, planes=(8, 8, 8, 8)
+    )
+    _set_mode()
+    v = model.init(jax.random.PRNGKey(0), field, train=False)
+    out_row = np.asarray(model.apply(v, field, train=False))
+    _set_mode("block_resident", divisor=1)
+    out_br = np.asarray(model.apply(v, field, train=False))
+    np.testing.assert_allclose(out_br, out_row, rtol=2e-4, atol=2e-5)
+
+
 def test_overflow_poisons_output(rng):
     """A level whose blocks exceed the cap must fail loud (NaN), never train
     on silently-truncated inputs."""
