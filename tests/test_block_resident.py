@@ -205,6 +205,25 @@ def test_resnet_with_pool_and_strided_blocks_matches_row(rng):
     np.testing.assert_allclose(out_br, out_row, rtol=2e-4, atol=2e-5)
 
 
+def test_bf16_compute_dtype_matches_row(rng):
+    """The bench path runs bf16 cells end-to-end; parity within bf16 noise."""
+    from nerf_downstream_tpu.models import get_model
+
+    field, mask = _field(rng, batches=1, n_voxels=800, cap=2048)
+    model = get_model(
+        name="Res16UNet14", out_channel=6, num_batches=1, planes=(8,) * 8,
+        compute_dtype=jnp.bfloat16,
+    )
+    _set_mode()
+    v = model.init(jax.random.PRNGKey(0), field, train=False)
+    out_row = np.asarray(model.apply(v, field, train=False), np.float32)
+    _set_mode("block_resident")
+    out_br = np.asarray(model.apply(v, field, train=False), np.float32)
+    # bf16 accumulation-order noise; argmax agreement is the usable signal
+    agree = (out_row[mask].argmax(-1) == out_br[mask].argmax(-1)).mean()
+    assert agree > 0.99, agree
+
+
 def test_overflow_poisons_output(rng):
     """A level whose blocks exceed the cap must fail loud (NaN), never train
     on silently-truncated inputs."""
