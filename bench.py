@@ -81,6 +81,7 @@ def main():
         "CoordinateContext.grid_extent = 128\n"
         'CoordinateContext.method = "block_resident"\n'
         "CoordinateContext.block_caps = (19712, 4224, 960, 256, 64)\n"
+        "field_to_sparse.assume_unique = True\n"
     )
 
     from nerf_downstream_tpu.models import get_model

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nerf_downstream_tpu import config as cfg
 from nerf_downstream_tpu.sparse import packing
 from nerf_downstream_tpu.sparse.types import PointField, SparseVoxels
 
@@ -263,13 +264,45 @@ def build_kernel_map(
     return rows.reshape(offs.shape[0], out_coords.shape[0])
 
 
-def field_to_sparse(field: PointField, voxel_size: float = 1.0):
+@cfg.configurable("field_to_sparse")
+def field_to_sparse(field: PointField, voxel_size: float = 1.0,
+                    assume_unique: bool = False):
     """Quantize a PointField into SparseVoxels, averaging duplicate points.
 
     Returns (SparseVoxels, point_to_voxel int32[N]) — the inverse map used by
     ``sparse_to_field``.
+
+    ``assume_unique``: declare that every valid point already maps to a
+    distinct voxel (true for the Plenoxel grids — PeRFception stores one row
+    per occupied voxel). Then the dedup/average stage is the identity and is
+    skipped: it costs ~56 ms/call at the 64k bench scale (two row-granular
+    segment-sum scatters, latency-bound on TPU), plus a ~20 ms scatter-add
+    in the backward of ``sparse_to_field`` that the identity map avoids.
+    Bind per dataset (``field_to_sparse.assume_unique = True`` in the
+    plenoxel configs); WRONG results if duplicates do exist — mesh/LiDAR
+    datasets re-quantize to coarser voxels and must keep it False.
     """
     n = field.capacity
+    if assume_unique:
+        # still SORT (4 ms): downstream row scatters/gathers (densify,
+        # row_slot, slicing) rely on spatially-coherent row order — dropping
+        # it costs more than the sort. Only the duplicate-averaging
+        # segment-adds (~50 ms of latency-bound row scatters) are skipped.
+        vox = jnp.floor(field.coords[:, 1:] / voxel_size).astype(jnp.int32)
+        coords = jnp.concatenate(
+            [field.coords[:, :1].astype(jnp.int32), vox], axis=1
+        )
+        hi, lo = packing.pack(coords, field.mask)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        s_hi, s_lo, s_idx = packing.sort_with_payload(hi, lo, idx)
+        sv = SparseVoxels(
+            coords=coords[s_idx],
+            feats=field.feats[s_idx],
+            mask=s_hi != packing.INVALID_KEY,
+            stride=1,
+        )
+        p2v = jnp.zeros((n,), jnp.int32).at[s_idx].set(idx)
+        return sv, p2v
     vox = jnp.floor(field.coords[:, 1:] / voxel_size).astype(jnp.int32)
     coords = jnp.concatenate(
         [field.coords[:, :1].astype(jnp.int32), vox], axis=1
@@ -318,9 +351,16 @@ def slice_field(sv: SparseVoxels, field: PointField) -> PointField:
 
 
 def sparse_to_field(
-    sv: SparseVoxels, field: PointField, point_to_voxel: jax.Array
+    sv: SparseVoxels, field: PointField, point_to_voxel
 ) -> PointField:
-    """Gather voxel features back onto the original points (``.slice()``)."""
+    """Gather voxel features back onto the original points (``.slice()``).
+
+    ``point_to_voxel=None`` marks the identity map (``assume_unique``
+    quantization): the gather — and its scatter-add backward — vanish into
+    a masked select."""
+    if point_to_voxel is None:
+        feats = jnp.where(field.mask[:, None], sv.feats, 0)
+        return PointField(coords=field.coords, feats=feats, mask=field.mask)
     feats_ext = jnp.concatenate(
         [sv.feats, jnp.zeros((1, sv.feats.shape[1]), sv.feats.dtype)]
     )
