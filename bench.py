@@ -80,7 +80,7 @@ def main():
     cfg.parse_config(
         "CoordinateContext.grid_extent = 128\n"
         'CoordinateContext.method = "block_resident"\n'
-        "CoordinateContext.block_caps = (19712, 4224, 960, 256, 64)\n"
+        "CoordinateContext.block_caps = (18432, 3904, 896, 224, 40)\n"
         "field_to_sparse.assume_unique = True\n"
     )
 
@@ -112,6 +112,13 @@ def main():
         state, mets = step(state, batch)
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / ITERS
+
+    # honesty check: the overflow guard NaN-poisons truncated levels, so a
+    # finite loss certifies no block cap overflowed during the timed run
+    loss = float(np.asarray(mets["loss"]))
+    assert np.isfinite(loss), (
+        f"non-finite loss {loss}: block caps overflowed — throughput invalid"
+    )
 
     vps = n_valid / dt
     print(

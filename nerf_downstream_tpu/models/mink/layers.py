@@ -102,10 +102,12 @@ class SparseConv(nn.Module):
             or (self.kernel_size == 1 and self.stride == 2)
         )
         if ctx.use_block_resident() and blockable:
+            if sv.feats.dtype != self.compute_dtype:
+                # cast on rows/cells BEFORE densify so the scatter moves
+                # half the bytes when entering the block layout
+                sv = sv.replace(feats=sv.feats.astype(self.compute_dtype))
             if not isinstance(sv, BlockVoxels):
                 sv = ctx.to_block(sv)
-            if sv.feats.dtype != self.compute_dtype:
-                sv = sv.replace(feats=sv.feats.astype(self.compute_dtype))
             w = self.param(
                 "kernel",
                 _kaiming_conv_init,

@@ -181,30 +181,31 @@ def _w222(w: jax.Array, cin: int, cout: int) -> jax.Array:
     return jnp.transpose(w.reshape(2, 2, 2, cin, cout), (2, 1, 0, 3, 4))
 
 
-def _fine_chunks(bv: BlockVoxels) -> jax.Array:
-    """Resident cells viewed as [Bb, 2(i), 2(dx), 2(j), 2(dy), 2(k), 2(dz), C]:
-    per block, the 2^3 output chunk x the 2^3 input window of each output."""
+def _blocks_of(bv: BlockVoxels) -> jax.Array:
     bb = bv.layout.n_blocks
     c = bv.num_channels
-    blocks = bv.feats[: bb * CELLS].reshape(bb, BLOCK, BLOCK, BLOCK, c)
-    return blocks.reshape(bb, 2, 2, 2, 2, 2, 2, c)
+    return bv.feats[: bb * CELLS].reshape(bb, BLOCK, BLOCK, BLOCK, c)
 
 
 def down_conv2(bv: BlockVoxels, w: jax.Array, coarse_layout: BlockLayout,
                trans: LevelTransition, cout: int) -> jax.Array:
-    """k=2/s=2 conv: in-block contraction, then one re-block scatter.
+    """k=2/s=2 conv: a strided VALID ``lax.conv`` per block, then one
+    re-block scatter.
 
     Returns coarse dense cells [(Bbc+1)*CELLS, cout].
-    w: [8, Cin, Cout] in kernel-offset order.
+    w: [8, Cin, Cout] in kernel-offset order. (An einsum over the 8-D
+    chunk view computes the same thing but forces ~2ms layout-churn copies
+    of [Bb,2,2,2,2,2,2,C] per call — XLA-trace finding.)
     """
     cin = bv.num_channels
-    win = _fine_chunks(bv)
-    # out[b, i, j, k] = sum_d in[b, 2i+dx, 2j+dy, 2k+dz] * W[d]
-    chunk = jnp.einsum(
-        "bixjykzc,xyzcd->bijkd", win, _w222(w, cin, cout),
-        preferred_element_type=jnp.float32,
-    ).astype(bv.feats.dtype)
-    return _scatter_chunks(chunk.reshape(-1, 8, cout), coarse_layout, trans)
+    chunk = jax.lax.conv_general_dilated(
+        _blocks_of(bv), _w222(w, cin, cout), (2, 2, 2), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )  # [Bb, 2, 2, 2, Cout]
+    return _scatter_chunks(
+        chunk.astype(bv.feats.dtype).reshape(-1, 8, cout),
+        coarse_layout, trans,
+    )
 
 
 def _scatter_chunks(chunk, coarse_layout, trans):
@@ -244,10 +245,14 @@ def up_conv2(bv_coarse: BlockVoxels, w: jax.Array, fine_layout: BlockLayout,
     """
     cin = bv_coarse.num_channels
     chunk = _gather_chunks(bv_coarse.feats, trans)  # [Bbf, 2, 2, 2, Cin]
-    out = jnp.einsum(
-        "bijkc,xyzcd->bixjykzd", chunk, _w222(w, cin, cout),
-        preferred_element_type=jnp.float32,
-    ).astype(bv_coarse.feats.dtype)
+    # transpose conv as lhs-dilated conv with per-axis-reversed filter:
+    # out[x] = chunk[x//2] . W[x%2] per axis
+    filt = _w222(w, cin, cout)[::-1, ::-1, ::-1]
+    out = jax.lax.conv_general_dilated(
+        chunk, filt, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
+        lhs_dilation=(2, 2, 2),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ).astype(bv_coarse.feats.dtype)  # [Bbf, 4, 4, 4, Cout]
     bbf = fine_layout.n_blocks
     out = out.reshape(bbf * CELLS, cout)
     out = jnp.concatenate([out, jnp.zeros((CELLS, cout), out.dtype)], 0)
@@ -261,8 +266,7 @@ def down_sample_conv1(bv: BlockVoxels, w1: jax.Array,
     cell of each chunk, apply the 1x1 weight, re-block."""
     cin = bv.num_channels
     cout = w1.shape[-1]
-    win = _fine_chunks(bv)
-    origin = win[:, :, 0, :, 0, :, 0, :]  # [Bbf, 2, 2, 2, Cin]
+    origin = _blocks_of(bv)[:, ::2, ::2, ::2, :]  # [Bbf, 2, 2, 2, Cin]
     chunk = jnp.einsum(
         "bijkc,cd->bijkd", origin, w1, preferred_element_type=jnp.float32
     ).astype(bv.feats.dtype)
@@ -274,21 +278,32 @@ def pool2_cells(bv: BlockVoxels, mode: str, coarse_layout: BlockLayout,
     """k=2/s=2 window pooling in-block (sum / avg over present cells / max),
     matching ``ops.pool.window_pool`` semantics on the kernel map."""
     c = bv.num_channels
-    win = _fine_chunks(bv)
     bbf = bv.layout.n_blocks
-    m = bv.mask[: bbf * CELLS].reshape(bbf, 2, 2, 2, 2, 2, 2)
+    blocks = _blocks_of(bv)
+    m = bv.mask[: bbf * CELLS].reshape(bbf, BLOCK, BLOCK, BLOCK, 1)
+    win_dims = (1, 2, 2, 2, 1)
+
+    def reduce(x, init, op):
+        return jax.lax.reduce_window(
+            x, init, op, win_dims, win_dims, "VALID"
+        )
+
     if mode == "max":
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, bv.feats.dtype)
-        vals = jnp.where(m[..., None], win, neg)
-        red = jnp.max(vals, axis=(2, 4, 6))
+        vals = jnp.where(m, blocks, neg)
+        red = reduce(vals, neg, jax.lax.max)
         red = jnp.where(red == neg, 0, red)
     else:
-        red = jnp.sum(
-            jnp.where(m[..., None], win, 0).astype(jnp.float32), axis=(2, 4, 6)
+        red = reduce(
+            jnp.where(m, blocks, 0).astype(jnp.float32),
+            jnp.float32(0), jax.lax.add,
         )
         if mode == "avg":
-            cnt = jnp.sum(m.astype(jnp.float32), axis=(2, 4, 6))
-            red = red / jnp.maximum(cnt, 1.0)[..., None]
+            cnt = reduce(
+                jnp.broadcast_to(m, blocks.shape).astype(jnp.float32),
+                jnp.float32(0), jax.lax.add,
+            )
+            red = red / jnp.maximum(cnt, 1.0)
         elif mode != "sum":
             raise ValueError(f"unknown pool mode {mode!r}")
         red = red.astype(bv.feats.dtype)
