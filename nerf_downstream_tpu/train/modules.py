@@ -445,9 +445,48 @@ class ClassificationTraining(BaseTask):
         return out
 
 
+@cfg.configurable("EnsembleClassificationTraining")
+class EnsembleClassificationTraining(ClassificationTraining):
+    """Joint 2D+3D classification over ``models/ensemble.py::Ensemble2D3D``
+    (BASELINE.json stretch config #5). Batches carry BOTH ``images`` and the
+    sparse-voxel fields (``data/joint.py``); the fused model jits into one
+    step and data-parallelizes with the same shard_map machinery."""
+
+    def create_state(self, rng, example_batch):
+        field = process_input(example_batch)
+        images = jnp.asarray(example_batch["images"], jnp.float32)
+        variables = jax.jit(
+            lambda r, im, f: self.model.init(r, im, f, train=False)
+        )(rng, images, field)
+        from nerf_downstream_tpu.train.state import TrainState
+
+        state = TrainState.create(
+            self.model.apply,
+            variables["params"],
+            variables.get("batch_stats", {}),
+            self.make_tx(),
+        )
+        return self._maybe_load_checkpoint(state)
+
+    def _apply(self, params, batch_stats, batch, train: bool, rng=None):
+        field = process_input(batch)
+        images = jnp.asarray(batch["images"], jnp.float32)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            rngs = {"dropout": rng} if rng is not None else None
+            out, mut = self.model.apply(
+                variables, images, field, train=True,
+                mutable=["batch_stats"], rngs=rngs,
+            )
+            return out, mut["batch_stats"]
+        out = self.model.apply(variables, images, field, train=False)
+        return out, batch_stats
+
+
 MODULES = {
     "SegmentationTraining": SegmentationTraining,
     "ClassificationTraining": ClassificationTraining,
+    "EnsembleClassificationTraining": EnsembleClassificationTraining,
 }
 
 
