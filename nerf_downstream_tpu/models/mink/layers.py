@@ -511,5 +511,10 @@ class GlobalPool(nn.Module):
 
 def cat(a: SparseVoxels, b: SparseVoxels) -> SparseVoxels:
     """Feature concat of two tensors on the same coordinate set (me.cat,
-    used for UNet skip connections res16unet.py:409-424)."""
+    used for UNet skip connections res16unet.py:409-424).
+
+    Mixed representations (one side fell back to rows — e.g. a ZAXIS conv —
+    while the other stayed block-resident) are aligned to rows first."""
+    if isinstance(a, BlockVoxels) != isinstance(b, BlockVoxels):
+        a, b = as_rows(a), as_rows(b)
     return a.replace(feats=jnp.concatenate([a.feats, b.feats], axis=-1))

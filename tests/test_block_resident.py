@@ -205,6 +205,24 @@ def test_resnet_with_pool_and_strided_blocks_matches_row(rng):
     np.testing.assert_allclose(out_br, out_row, rtol=2e-4, atol=2e-5)
 
 
+def test_zaxis_mixed_representation_matches_row(rng):
+    """sparse_mode=2 (ZAXIS) convs fall back to rows inside a block-resident
+    model — skip concats and residual adds must align representations."""
+    from nerf_downstream_tpu.models import get_model
+
+    field, mask = _field(rng, batches=1, n_voxels=900, cap=2048)
+    model = get_model(
+        name="Res16UNet14", out_channel=5, num_batches=1, planes=(4,) * 8,
+        sparse=[2] * 9,
+    )
+    _set_mode()
+    v = model.init(jax.random.PRNGKey(0), field, train=False)
+    out_row = np.asarray(model.apply(v, field, train=False))
+    _set_mode("block_resident", divisor=1)
+    out_br = np.asarray(model.apply(v, field, train=False))
+    np.testing.assert_allclose(out_br[mask], out_row[mask], rtol=2e-4, atol=2e-5)
+
+
 def test_bf16_compute_dtype_matches_row(rng):
     """The bench path runs bf16 cells end-to-end; parity within bf16 noise."""
     from nerf_downstream_tpu.models import get_model
