@@ -30,9 +30,13 @@ def bench_2d():
 
     B, S = 128, 224
     rng = np.random.default_rng(0)
+    # device-resident batch: numpy would re-ship ~77MB over the relay
+    # every step and dominate the measurement
     batch = {
-        "images": rng.normal(size=(B, S, S, 3)).astype(np.float32),
-        "labels": rng.integers(0, 51, B),
+        "images": jnp.asarray(
+            rng.normal(size=(B, S, S, 3)).astype(np.float32)
+        ),
+        "labels": jnp.asarray(rng.integers(0, 51, B)),
     }
     from nerf_downstream_tpu import config as cfg
 
