@@ -1,0 +1,89 @@
+"""GSPMD data x tensor parallel step on a virtual 2x4 mesh: numerics match
+the single-device step; conv kernels really shard over the model axis."""
+
+import numpy as np
+import pytest
+
+from nerf_downstream_tpu import config as cfg
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    cfg.clear_config()
+    yield
+    cfg.clear_config()
+
+
+def _batch(rng, batches=4, cap=1024):
+    from nerf_downstream_tpu.data.plenoxel import make_synthetic_scene
+    from nerf_downstream_tpu.data.utils import collate_mink
+
+    samples = []
+    for _ in range(batches):
+        sc = make_synthetic_scene(
+            rng, n_voxels=180, reso=(32, 32, 32), with_labels=True,
+            num_classes=6,
+        )
+        samples.append({
+            "coordinates": sc["coords"].astype(np.float32),
+            "features": np.concatenate([sc["density"], sc["sh"]], 1)[:, :8]
+            .astype(np.float32),
+            "labels": sc["labels"],
+        })
+    b = collate_mink(samples, capacity=cap)
+    b.pop("metadata", None)
+    return b
+
+
+def test_gspmd_step_matches_single_device(rng):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.parallel.gspmd import (
+        batch_shardings,
+        make_gspmd_train_step,
+        make_mesh2d,
+        place,
+        shard_state,
+    )
+    from nerf_downstream_tpu.train.modules import SegmentationTraining
+
+    cfg.parse_config("CoordinateContext.grid_extent = 64\n")
+    batch = _batch(rng)
+    model = get_model(
+        name="Res16UNet14", out_channel=6, num_batches=4, planes=(8,) * 8
+    )
+    task = SegmentationTraining(
+        model, optimizer_name="SGD", scheduler_name="none", lr=0.1,
+        ignore_label=-100,
+    )
+    state = task.create_state(jax.random.PRNGKey(0), batch)
+
+    # reference: plain single-device step
+    ref_step = task.make_train_step(donate=False)
+    ref_state, ref_mets = ref_step(state, batch)
+
+    mesh = make_mesh2d(2, 4)
+    sstate = shard_state(mesh, state)
+    sbatch = place(batch, batch_shardings(mesh, batch))
+    step = make_gspmd_train_step(task, mesh)
+    new_state, mets = step(sstate, sbatch)
+
+    np.testing.assert_allclose(
+        float(mets["loss"]), float(ref_mets["loss"]), rtol=1e-5
+    )
+    # post-step params equal (GSPMD == single-device semantics)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5
+        )
+    # a wide decoder kernel is genuinely sharded over the model axis
+    k = new_state.params["block8_0"]["conv1"]["kernel"]
+    spec = k.sharding.spec
+    assert spec[-1] == "model", spec
