@@ -86,7 +86,7 @@ class SparseConv(nn.Module):
                     "bias", nn.initializers.zeros, (self.out_channels,)
                 )
                 if isinstance(sv, BlockVoxels):
-                    out_f = jnp.where(sv.mask[:, None], out_f, 0)
+                    out_f = jnp.where(sv.mask[..., None], out_f, 0)
             return sv.replace(feats=out_f)
 
         full_offs = kernel_offsets(self.kernel_size, sv.stride, self.dilation)
@@ -140,7 +140,7 @@ class SparseConv(nn.Module):
                 out_f = out.feats + self.param(
                     "bias", nn.initializers.zeros, (self.out_channels,)
                 )
-                out_f = jnp.where(out.mask[:, None], out_f, 0)
+                out_f = jnp.where(out.mask[..., None], out_f, 0)
                 out = out.replace(feats=out_f)
             return out.replace(feats=out.feats.astype(self.compute_dtype))
 
@@ -262,7 +262,7 @@ class SparseConvTranspose(nn.Module):
                 out_f = br.overflow_poison(out_f, fine_layout)
             if self.use_bias:
                 out_f = jnp.where(
-                    fine_cmask[:, None],
+                    fine_cmask[..., None],
                     out_f + self.param(
                         "bias", nn.initializers.zeros, (self.out_channels,)
                     ),
@@ -400,7 +400,7 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         out = batch_norm_apply(sv.feats, mean, var, scale, bias, self.eps)
         if isinstance(sv, BlockVoxels):  # keep unoccupied cells zero
-            out = jnp.where(sv.mask[:, None], out, 0)
+            out = jnp.where(sv.mask[..., None], out, 0)
         return sv.replace(feats=out)
 
 
@@ -414,7 +414,7 @@ class MinkLayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         out = layer_norm(sv.feats, scale, bias, self.eps)
         if isinstance(sv, BlockVoxels):
-            out = jnp.where(sv.mask[:, None], out, 0)
+            out = jnp.where(sv.mask[..., None], out, 0)
         return sv.replace(feats=out)
 
 
@@ -431,13 +431,14 @@ class MinkInstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         bid = sv.batch_ids(self.num_batches)
-        mean, var = instance_norm_stats(sv.feats, bid, self.num_batches)
-        f = (sv.feats.astype(jnp.float32) - mean) * jax.lax.rsqrt(
-            var + self.eps
+        flat = sv.feats.reshape(-1, c)
+        mean, var = instance_norm_stats(flat, bid, self.num_batches)
+        f = (flat.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        out = ((f * scale + bias).astype(sv.feats.dtype)).reshape(
+            sv.feats.shape
         )
-        out = (f * scale + bias).astype(sv.feats.dtype)
         if isinstance(sv, BlockVoxels):
-            out = jnp.where(sv.mask[:, None], out, 0)
+            out = jnp.where(sv.mask[..., None], out, 0)
         return sv.replace(feats=out)
 
 
@@ -468,7 +469,7 @@ def get_nonlinearity(name: str) -> Callable:
         if isinstance(sv, BlockVoxels):
             # sigmoid/others don't map 0 -> 0; keep unoccupied cells zero
             # (the select fuses into the elementwise op)
-            out = jnp.where(sv.mask[:, None], out, 0)
+            out = jnp.where(sv.mask[..., None], out, 0)
         return sv.replace(feats=out)
 
     return apply

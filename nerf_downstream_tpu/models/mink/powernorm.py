@@ -126,10 +126,11 @@ class MinkPowerNorm(nn.Module):
         ema_gz = self.variable(
             "batch_stats", "ema_gz", lambda: jnp.zeros((c,), jnp.float32)
         )
+        feats2d = sv.feats.reshape(-1, c)  # rows or flattened block cells
         x = group_scaling(
-            sv.feats.astype(jnp.float32), self.group_num, self.eps
+            feats2d.astype(jnp.float32), self.group_num, self.eps
         )
-        mask_f = sv.mask.astype(jnp.float32)
+        mask_f = sv.mask.reshape(-1).astype(jnp.float32)
         m = mask_f[:, None]
         cnt = jnp.maximum(jnp.sum(m), 1.0)
         x2 = jnp.sum(jax.lax.stop_gradient(x * x) * m, axis=0) / cnt
@@ -154,11 +155,11 @@ class MinkPowerNorm(nn.Module):
         else:
             z = x / jnp.sqrt(running_phi.value + self.eps)
             out = weight * z + bias
-        out = out.astype(sv.feats.dtype)
+        out = out.astype(sv.feats.dtype).reshape(sv.feats.shape)
         from nerf_downstream_tpu.ops.block_resident import BlockVoxels
 
         if isinstance(sv, BlockVoxels):  # keep unoccupied cells zero
-            out = jnp.where(sv.mask[:, None], out, 0)
+            out = jnp.where(sv.mask[..., None], out, 0)
         return sv.replace(feats=out)
 
 

@@ -224,7 +224,10 @@ def _halo_tiles_impl(dense, nbr, bb, c):
     (chained dynamic-update-slices re-copy the buffer per update) and its
     adjoint is a clean split + per-piece scatter-add."""
     blocks = dense.reshape(bb + 1, BLOCK, BLOCK, BLOCK, c)
+    return _halo_tiles_impl5(blocks, nbr, bb, c)
 
+
+def _halo_tiles_impl5(blocks, nbr, bb, c):
     def src(d):
         if d == -1:
             return (BLOCK - 1, BLOCK)
@@ -269,6 +272,76 @@ def _valid_conv(tile, filt):
         # same-dtype in/out keeps VJPs dtype-consistent; the TPU conv
         # accumulates in f32 internally regardless
     )
+
+
+# ---- 5-D core: cells stay [(Bb+1), 4, 4, 4, C] end-to-end -----------------
+# The flat [(Bb+1)*64, C] form forces XLA to relayout around every conv
+# (~2ms copies each way per conv at bench scale, ~100ms/step); block-resident
+# levels therefore hold the 5-D form and only the flat wrappers below reshape
+# (per-op ``block_conv3`` compatibility).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _halo5(blocks, nbr, bb, c):
+    return _halo_tiles_impl5(blocks, nbr, bb, c)
+
+
+def _halo5_fwd(blocks, nbr, bb, c):
+    return _halo_tiles_impl5(blocks, nbr, bb, c), nbr
+
+
+def _halo5_bwd(bb, c, nbr, g):
+    return _halo_adjoint5(g, nbr, bb, c), None
+
+
+def _halo_adjoint5(g, nbr, bb, c):
+    return _halo_adjoint(g, nbr, bb, c).reshape(bb + 1, BLOCK, BLOCK, BLOCK, c)
+
+
+_halo5.defvjp(_halo5_fwd, _halo5_bwd)
+
+
+def _block_core_impl5(blocks, nbr, w, bb, c, cout):
+    tile = _halo5(blocks, nbr, bb, c)
+    return _valid_conv(tile, _filt(w, c, cout))  # [bb, 4, 4, 4, cout]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def block_core5(blocks, nbr, w, bb, c, cout):
+    """k3/s1 conv on 5-D resident cells: [(bb+1),4,4,4,C] -> [bb,4,4,4,Cout]."""
+    return _block_core_impl5(blocks, nbr, w, bb, c, cout)
+
+
+def _block_core5_fwd(blocks, nbr, w, bb, c, cout):
+    return _block_core_impl5(blocks, nbr, w, bb, c, cout), (blocks, nbr, w)
+
+
+def _block_core5_bwd(bb, c, cout, res, g):
+    blocks, nbr, w = res
+    g_blocks = jnp.concatenate(
+        [g, jnp.zeros((1, BLOCK, BLOCK, BLOCK, cout), g.dtype)], axis=0
+    )
+    g_tile = _halo5(g_blocks, nbr, bb, cout)
+    filt = _filt(w, c, cout)
+    filt_rev = jnp.transpose(filt[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+    d_blocks = _valid_conv(g_tile, filt_rev)  # [bb, 4,4,4, Cin]
+    d_blocks = jnp.concatenate(
+        [d_blocks, jnp.zeros((1, BLOCK, BLOCK, BLOCK, c), d_blocks.dtype)],
+        axis=0,
+    ).astype(blocks.dtype)
+
+    tile = _halo5(blocks, nbr, bb, c)
+    g_conv = g.astype(tile.dtype)
+
+    def conv_only(w_):
+        return _valid_conv(tile, _filt(w_, c, cout))
+
+    _, vjp = jax.vjp(conv_only, w)
+    (d_w,) = vjp(g_conv)
+    return d_blocks, None, d_w.astype(w.dtype)
+
+
+block_core5.defvjp(_block_core5_fwd, _block_core5_bwd)
 
 
 def _block_core_impl(dense, nbr, w, bb, c, cout):

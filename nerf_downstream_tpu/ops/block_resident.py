@@ -38,7 +38,7 @@ from nerf_downstream_tpu.ops.block_conv import (
     BLOCK,
     CELLS,
     BlockLayout,
-    _block_core,
+    block_core5,
     densify,
 )
 from nerf_downstream_tpu.sparse.types import SparseVoxels
@@ -77,8 +77,9 @@ class BlockVoxels:
 
     coords: jax.Array  # int32[N, 4] row-level coords of this level
     row_mask: jax.Array  # bool[N]
-    feats: jax.Array  # [(Bb+1)*CELLS, C]
-    mask: jax.Array  # bool[(Bb+1)*CELLS] cell occupancy
+    feats: jax.Array  # [(Bb+1), 4, 4, 4, C] cells (5-D: the flat form forces
+    #     XLA relayout copies around every conv — measured ~100ms/step)
+    mask: jax.Array  # bool[(Bb+1), 4, 4, 4] cell occupancy
     layout: BlockLayout
     stride: int = flax.struct.field(pytree_node=False, default=1)
 
@@ -94,7 +95,8 @@ class BlockVoxels:
         return jnp.sum(self.row_mask.astype(jnp.int32))
 
     def batch_ids(self, num_batches: int) -> jax.Array:
-        """Per-cell batch index; unoccupied cells map to ``num_batches``."""
+        """FLAT per-cell batch index (pairs with ``masked_feats``);
+        unoccupied cells map to ``num_batches``."""
         bb = self.layout.n_blocks
         blk_b = jnp.where(
             self.layout.block_mask, self.layout.block_coords[:, 0], num_batches
@@ -103,10 +105,13 @@ class BlockVoxels:
             [blk_b, jnp.full((1,), num_batches, jnp.int32)]
         )
         per_cell = jnp.repeat(blk_b, CELLS, total_repeat_length=(bb + 1) * CELLS)
-        return jnp.where(self.mask, per_cell, num_batches)
+        return jnp.where(self.mask.reshape(-1), per_cell, num_batches)
 
     def masked_feats(self) -> jax.Array:
-        return jnp.where(self.mask[:, None], self.feats, 0)
+        """FLAT [(Bb+1)*64, C] masked cells — the row-like view for global
+        poolings / segment ops; resident convs read ``feats`` (5-D) directly."""
+        flat = self.feats.reshape(-1, self.num_channels)
+        return jnp.where(self.mask.reshape(-1)[:, None], flat, 0)
 
     def replace_feats(self, feats: jax.Array) -> "BlockVoxels":
         return self.replace(feats=feats)
@@ -123,7 +128,7 @@ def cell_mask_of(layout: BlockLayout) -> jax.Array:
         jnp.zeros(((bb + 1) * CELLS,), bool)
         .at[layout.row_slot]
         .set(layout.row_valid, mode="drop")
-    )
+    ).reshape(bb + 1, BLOCK, BLOCK, BLOCK)
 
 
 def overflow_poison(feats: jax.Array, layout: BlockLayout) -> jax.Array:
@@ -142,7 +147,10 @@ def overflow_poison(feats: jax.Array, layout: BlockLayout) -> jax.Array:
 def to_block(sv: SparseVoxels, layout: BlockLayout, cell_mask: jax.Array,
              guard: bool = True) -> BlockVoxels:
     """Enter the block-resident representation (once per level)."""
-    cells = densify(layout, sv.feats, sv.mask)
+    c = sv.feats.shape[-1]
+    cells = densify(layout, sv.feats, sv.mask).reshape(
+        layout.n_blocks + 1, BLOCK, BLOCK, BLOCK, c
+    )
     if guard:
         cells = overflow_poison(cells, layout)
     return BlockVoxels(
@@ -157,7 +165,8 @@ def to_block(sv: SparseVoxels, layout: BlockLayout, cell_mask: jax.Array,
 
 def to_rows(bv: BlockVoxels) -> SparseVoxels:
     """Materialize row features (once, at level exit / model output)."""
-    rows = bv.feats[bv.layout.row_slot.clip(0, bv.feats.shape[0] - 1)]
+    flat = bv.feats.reshape(-1, bv.num_channels)
+    rows = flat[bv.layout.row_slot.clip(0, flat.shape[0] - 1)]
     rows = jnp.where(bv.layout.row_valid[:, None], rows, 0)
     return SparseVoxels(
         coords=bv.coords, feats=rows, mask=bv.row_mask, stride=bv.stride
@@ -165,13 +174,13 @@ def to_rows(bv: BlockVoxels) -> SparseVoxels:
 
 
 def conv3_cells(bv: BlockVoxels, w: jax.Array) -> jax.Array:
-    """k=3/s=1 conv on resident cells (halo + dense conv, no densify)."""
+    """k=3/s=1 conv on resident 5-D cells (halo + dense conv, no densify)."""
     bb = bv.layout.n_blocks
     c = bv.num_channels
     cout = w.shape[-1]
-    out = _block_core(bv.feats, bv.layout.nbr, w, bb, c, cout)
+    out = block_core5(bv.feats, bv.layout.nbr, w, bb, c, cout)
     return jnp.concatenate(
-        [out, jnp.zeros((CELLS, cout), out.dtype)], axis=0
+        [out, jnp.zeros((1, BLOCK, BLOCK, BLOCK, cout), out.dtype)], axis=0
     )
 
 
@@ -182,9 +191,7 @@ def _w222(w: jax.Array, cin: int, cout: int) -> jax.Array:
 
 
 def _blocks_of(bv: BlockVoxels) -> jax.Array:
-    bb = bv.layout.n_blocks
-    c = bv.num_channels
-    return bv.feats[: bb * CELLS].reshape(bb, BLOCK, BLOCK, BLOCK, c)
+    return bv.feats[: bv.layout.n_blocks]
 
 
 def down_conv2(bv: BlockVoxels, w: jax.Array, coarse_layout: BlockLayout,
@@ -209,27 +216,29 @@ def down_conv2(bv: BlockVoxels, w: jax.Array, coarse_layout: BlockLayout,
 
 
 def _scatter_chunks(chunk, coarse_layout, trans):
-    """[Bbf, 8, C] chunks -> coarse dense cells (no collisions: fine blocks
-    are unique, so (coarse block, chunk corner) pairs are unique)."""
+    """[Bbf, 8, C] chunks -> coarse dense 5-D cells (no collisions: fine
+    blocks are unique, so (coarse block, chunk corner) pairs are unique)."""
     bbc = coarse_layout.n_blocks
     cout = chunk.shape[-1]
     slots = trans.slot_base[:, None] + jnp.asarray(_CHUNK_OFFS)[None, :]
     slots = jnp.where(trans.valid[:, None], slots, (bbc + 1) * CELLS)
-    return (
+    flat = (
         jnp.zeros(((bbc + 1) * CELLS, cout), chunk.dtype)
         .at[slots.reshape(-1)]
         .set(chunk.reshape(-1, cout), mode="drop")
     )
+    return flat.reshape(bbc + 1, BLOCK, BLOCK, BLOCK, cout)
 
 
-def _gather_chunks(coarse_cells, trans):
-    """Coarse dense cells -> [Bbf, 2, 2, 2, C] chunks (invalid fine blocks
-    read the all-zero sentinel block)."""
-    n = coarse_cells.shape[0]
-    c = coarse_cells.shape[-1]
+def _gather_chunks(coarse_cells5, trans):
+    """Coarse dense 5-D cells -> [Bbf, 2, 2, 2, C] chunks (invalid fine
+    blocks read the all-zero sentinel block)."""
+    c = coarse_cells5.shape[-1]
+    coarse_flat = coarse_cells5.reshape(-1, c)
+    n = coarse_flat.shape[0]
     base = jnp.where(trans.valid, trans.slot_base, n - CELLS)
     slots = base[:, None] + jnp.asarray(_CHUNK_OFFS)[None, :]
-    flat = coarse_cells[slots.reshape(-1)]
+    flat = coarse_flat[slots.reshape(-1)]
     return flat.reshape(-1, 2, 2, 2, c)
 
 
@@ -253,10 +262,10 @@ def up_conv2(bv_coarse: BlockVoxels, w: jax.Array, fine_layout: BlockLayout,
         lhs_dilation=(2, 2, 2),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     ).astype(bv_coarse.feats.dtype)  # [Bbf, 4, 4, 4, Cout]
-    bbf = fine_layout.n_blocks
-    out = out.reshape(bbf * CELLS, cout)
-    out = jnp.concatenate([out, jnp.zeros((CELLS, cout), out.dtype)], 0)
-    return jnp.where(fine_cell_mask[:, None], out, 0)
+    out = jnp.concatenate(
+        [out, jnp.zeros((1, BLOCK, BLOCK, BLOCK, cout), out.dtype)], 0
+    )
+    return jnp.where(fine_cell_mask[..., None], out, 0)
 
 
 def down_sample_conv1(bv: BlockVoxels, w1: jax.Array,
@@ -280,7 +289,7 @@ def pool2_cells(bv: BlockVoxels, mode: str, coarse_layout: BlockLayout,
     c = bv.num_channels
     bbf = bv.layout.n_blocks
     blocks = _blocks_of(bv)
-    m = bv.mask[: bbf * CELLS].reshape(bbf, BLOCK, BLOCK, BLOCK, 1)
+    m = bv.mask[:bbf][..., None]
     win_dims = (1, 2, 2, 2, 1)
 
     def reduce(x, init, op):

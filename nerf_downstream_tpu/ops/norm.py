@@ -22,14 +22,19 @@ def masked_mean_var(
 ):
     """Mean/var over valid rows per channel; optionally psum across replicas.
 
+    ``feats`` may have any leading shape ([..., C]) with ``mask`` matching
+    the leading dims — rows or 5-D block cells alike (reductions are
+    layout-free, so the cells never round-trip through a flat view).
+
     With ``return_count=True`` also returns the (psum'd) valid-row count so
     callers can form the unbiased variance for running statistics (torch BN
     updates running_var with the n/(n-1) estimate)."""
-    m = mask.astype(jnp.float32)[:, None]
+    m = mask.astype(jnp.float32)[..., None]
     f = feats.astype(jnp.float32)
+    axes = tuple(range(f.ndim - 1))
     cnt = jnp.sum(m)
-    s1 = jnp.sum(f * m, axis=0)
-    s2 = jnp.sum(f * f * m, axis=0)
+    s1 = jnp.sum(f * m, axis=axes)
+    s2 = jnp.sum(f * f * m, axis=axes)
     if axis_name is not None:
         cnt = jax.lax.psum(cnt, axis_name)
         s1 = jax.lax.psum(s1, axis_name)
