@@ -20,6 +20,17 @@ def next_bucket(n: int, min_capacity: int = 1024) -> int:
     return cap
 
 
+def _configured_grid_extent():
+    from nerf_downstream_tpu import config as cfg
+
+    try:
+        return cfg.query_parameter(
+            "CoordinateContext.grid_extent", default=None
+        )
+    except Exception:
+        return None
+
+
 def collate_mink(
     samples: list[dict],
     capacity: int | None = None,
@@ -38,8 +49,22 @@ def collate_mink(
     metadata = []
     has_dists = "dists" in samples[0]
     per_point = None
+    extent = _configured_grid_extent()
     for b, s in enumerate(samples):
         c = np.asarray(s["coordinates"], np.float32)
+        if extent is not None and len(c):
+            # the dense-grid kernel-map builder silently treats neighbors
+            # outside grid_extent as missing (kernels.build_grid_index
+            # in_bounds filter) — fail loudly at batch build instead
+            span = c.max(0) - c.min(0)
+            if float(span.max()) >= extent:
+                raise ValueError(
+                    f"sample {s.get('metadata', {})} coordinate span "
+                    f"{span.max():.0f} exceeds CoordinateContext.grid_extent="
+                    f"{extent}; raise the binding for this dataset or "
+                    "downsample — out-of-extent voxels would silently lose "
+                    "their conv neighbors"
+                )
         n = len(c)
         coords_rows.append(
             np.concatenate([np.full((n, 1), b, np.float32), c], axis=1)

@@ -145,6 +145,27 @@ def test_scannet_feature_density_norm(tmp_path, rng):
     assert np.abs(s["features"][:, -1]).max() <= 1.0 + 1e-5
 
 
+def test_collate_rejects_out_of_extent_span(rng):
+    """ADVICE round-1: build_grid_index silently drops coords beyond
+    grid_extent — the collate now fails loudly at batch build."""
+    import pytest
+
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.data.utils import collate_mink
+
+    sample = {
+        "coordinates": np.array([[0, 0, 0], [200, 0, 0]], np.float32),
+        "features": np.ones((2, 3), np.float32),
+        "labels": np.array([0, 1]),
+    }
+    cfg.clear_config()
+    cfg.parse_config("CoordinateContext.grid_extent = 128\n")
+    with pytest.raises(ValueError, match="grid_extent"):
+        collate_mink([sample], capacity=64)
+    cfg.clear_config()
+    collate_mink([sample], capacity=64)  # no extent configured: fine
+
+
 def test_collate_mink_padding(rng):
     def mk(n, c=4, per_point=True):
         return {
