@@ -62,6 +62,10 @@ class ViT(nn.Module):
     heads: int = 6
     patch: int = 16
     layer_scale: float | None = None
+    # timm no_embed_class=True (all deit3_* variants): pos_embed covers the
+    # 196 patch tokens only and is added BEFORE the cls concat, so the cls
+    # token carries no positional term.
+    no_embed_class: bool = False
     dtype: Any = jnp.float32
     pretrained: bool = False
     pretrained_arch: str = ""
@@ -81,11 +85,24 @@ class ViT(nn.Module):
         cls = self.param(
             "cls_token", nn.initializers.normal(0.02), (1, 1, self.dim)
         )
-        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x], 1)
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
-        )
-        x = x + pos
+        if self.no_embed_class:
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, x.shape[1], self.dim),
+            )
+            x = x + pos
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (b, 1, self.dim)), x], 1
+            )
+        else:
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (b, 1, self.dim)), x], 1
+            )
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.02),
+                (1, x.shape[1], self.dim),
+            )
+            x = x + pos
         for i in range(self.depth):
             x = EncoderBlock(
                 self.dim, self.heads, layer_scale=self.layer_scale,
@@ -102,9 +119,9 @@ VIT_SPECS = {
     "vit_base_patch16_224": dict(dim=768, depth=12, heads=12),
     "vit_large_patch16_224": dict(dim=1024, depth=24, heads=16),
     "deit3_small_patch16_224": dict(dim=384, depth=12, heads=6,
-                                    layer_scale=1e-6),
+                                    layer_scale=1e-6, no_embed_class=True),
     "deit3_base_patch16_224": dict(dim=768, depth=12, heads=12,
-                                   layer_scale=1e-6),
+                                   layer_scale=1e-6, no_embed_class=True),
     "deit3_large_patch16_224": dict(dim=1024, depth=24, heads=16,
-                                    layer_scale=1e-6),
+                                    layer_scale=1e-6, no_embed_class=True),
 }

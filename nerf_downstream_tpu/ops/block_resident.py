@@ -174,14 +174,21 @@ def to_rows(bv: BlockVoxels) -> SparseVoxels:
 
 
 def conv3_cells(bv: BlockVoxels, w: jax.Array) -> jax.Array:
-    """k=3/s=1 conv on resident 5-D cells (halo + dense conv, no densify)."""
+    """k=3/s=1 conv on resident 5-D cells (halo + dense conv, no densify).
+
+    Output is re-masked to uphold the module invariant (feats zero at
+    unoccupied cells): the conv writes ghost values into unoccupied cells of
+    occupied blocks, and downstream ops that read raw cells (down_conv2,
+    down_sample_conv1, pool2_cells) must never see them. The select fuses
+    into the conv epilogue — measured free."""
     bb = bv.layout.n_blocks
     c = bv.num_channels
     cout = w.shape[-1]
     out = block_core5(bv.feats, bv.layout.nbr, w, bb, c, cout)
-    return jnp.concatenate(
+    out = jnp.concatenate(
         [out, jnp.zeros((1, BLOCK, BLOCK, BLOCK, cout), out.dtype)], axis=0
     )
+    return jnp.where(bv.mask[..., None], out, 0)
 
 
 def _w222(w: jax.Array, cin: int, cout: int) -> jax.Array:

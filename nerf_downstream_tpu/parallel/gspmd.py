@@ -84,18 +84,38 @@ def make_gspmd_train_step(task, mesh: Mesh):
     base_key = jax.random.PRNGKey(0)
 
     def step(state, batch):
-        rng = jax.random.fold_in(base_key, state.step)
+        from flax import traverse_util
 
-        def loss_fn(params):
+        from nerf_downstream_tpu.train.modules import (
+            merge_ema_state,
+            split_ema_state,
+        )
+
+        rng = jax.random.fold_in(base_key, state.step)
+        # PowerNorm ema_gz is updated during the backward pass (smuggled out
+        # as a cotangent) — same split/merge plumbing as the single-device
+        # and shard_map steps, otherwise the buffer would silently freeze.
+        flat_stats, ema = split_ema_state(state.batch_stats)
+
+        def loss_fn(params, ema_in):
+            bs = dict(flat_stats)
+            bs.update(ema_in)
             logits, new_stats = task._apply(
-                params, state.batch_stats, batch, train=True, rng=rng
+                params, traverse_util.unflatten_dict(bs), batch,
+                train=True, rng=rng,
             )
             loss, mets = task.loss_and_metrics(logits, batch)
             return loss, (new_stats, mets)
 
-        (loss, (new_stats, mets)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        if ema:
+            (loss, (new_stats, mets)), (grads, new_ema) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, ema)
+            new_stats = merge_ema_state(new_stats, new_ema)
+        else:
+            (loss, (new_stats, mets)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, ema)
         new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
         return new_state, dict(mets, loss=loss)
 

@@ -274,51 +274,88 @@ def field_to_sparse(field: PointField, voxel_size: float = 1.0,
 
     ``assume_unique``: declare that every valid point already maps to a
     distinct voxel (true for the Plenoxel grids — PeRFception stores one row
-    per occupied voxel). Then the dedup/average stage is the identity and is
-    skipped: it costs ~56 ms/call at the 64k bench scale (two row-granular
-    segment-sum scatters, latency-bound on TPU), plus a ~20 ms scatter-add
-    in the backward of ``sparse_to_field`` that the identity map avoids.
-    Bind per dataset (``field_to_sparse.assume_unique = True`` in the
-    plenoxel configs); WRONG results if duplicates do exist — mesh/LiDAR
-    datasets re-quantize to coarser voxels and must keep it False.
+    per occupied voxel — WHEN no coordinate-warping augmentation runs before
+    quantization). Skips the duplicate-averaging stage; a violated
+    declaration is caught by a fail-loud collision check that NaN-poisons
+    the features (any warping transform — rotation, affine, elastic, scale —
+    can land two voxels in one cell, so configs that bind those transforms
+    must keep this False; see co3d_aug*.gin).
+
+    The general path averages duplicates with sorted-run cumulative sums
+    (duplicates are adjacent after the key sort): one cumsum + one row
+    gather + one compaction scatter, ~3x cheaper than the segment-sum
+    formulation it replaces (row-granular scatter-adds are latency-bound
+    on TPU). Reference semantics: ME TensorField.sparse() quantization
+    averaging (res16unet.py:392).
     """
     n = field.capacity
-    if assume_unique:
-        # still SORT (4 ms): downstream row scatters/gathers (densify,
-        # row_slot, slicing) rely on spatially-coherent row order — dropping
-        # it costs more than the sort. Only the duplicate-averaging
-        # segment-adds (~50 ms of latency-bound row scatters) are skipped.
-        vox = jnp.floor(field.coords[:, 1:] / voxel_size).astype(jnp.int32)
-        coords = jnp.concatenate(
-            [field.coords[:, :1].astype(jnp.int32), vox], axis=1
-        )
-        hi, lo = packing.pack(coords, field.mask)
-        idx = jnp.arange(n, dtype=jnp.int32)
-        s_hi, s_lo, s_idx = packing.sort_with_payload(hi, lo, idx)
-        sv = SparseVoxels(
-            coords=coords[s_idx],
-            feats=field.feats[s_idx],
-            mask=s_hi != packing.INVALID_KEY,
-            stride=1,
-        )
-        p2v = jnp.zeros((n,), jnp.int32).at[s_idx].set(idx)
-        return sv, p2v
     vox = jnp.floor(field.coords[:, 1:] / voxel_size).astype(jnp.int32)
     coords = jnp.concatenate(
         [field.coords[:, :1].astype(jnp.int32), vox], axis=1
     )
-    uniq_coords, uniq_mask, row_to_unique = unique_coords(coords, field.mask)
-    # average features per voxel
-    seg = jnp.where(field.mask, row_to_unique, n)
-    sums = jax.ops.segment_sum(
-        jnp.where(field.mask[:, None], field.feats, 0), seg, num_segments=n + 1
-    )[:n]
-    counts = jax.ops.segment_sum(
-        field.mask.astype(field.feats.dtype), seg, num_segments=n + 1
-    )[:n]
-    feats = sums / jnp.maximum(counts, 1)[:, None]
+    hi, lo = packing.pack(coords, field.mask)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    s_hi, s_lo, s_idx = packing.sort_with_payload(hi, lo, idx)
+    s_valid = s_hi != packing.INVALID_KEY
+    if assume_unique:
+        # the SORT stays (4 ms): downstream row scatters/gathers (densify,
+        # row_slot, slicing) rely on spatially-coherent row order — dropping
+        # it costs more than the sort.
+        dup = (s_hi[1:] == s_hi[:-1]) & (s_lo[1:] == s_lo[:-1]) & s_valid[1:]
+        # fail loud on grid-index collisions instead of silently corrupting
+        # training (one fused select; free when the declaration holds)
+        poison = jnp.where(
+            jnp.any(dup),
+            jnp.asarray(float("nan"), field.feats.dtype),
+            jnp.asarray(1.0, field.feats.dtype),
+        )
+        sv = SparseVoxels(
+            coords=coords[s_idx],
+            feats=field.feats[s_idx] * poison,
+            mask=s_valid,
+            stride=1,
+        )
+        p2v = jnp.zeros((n,), jnp.int32).at[s_idx].set(idx)
+        return sv, p2v
+    first = packing.unique_first_occurrence(s_hi, s_lo, s_valid)
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    num_unique = jnp.sum(first.astype(jnp.int32))
+    slot = jnp.where(s_valid, slot, n - 1)
+    out_mask = idx < num_unique
+    # run sums via cumulative sums over the sorted rows: run u spanning
+    # sorted rows [i, e] has sum csum[e] - csum[i-1]; e = (next first) - 1,
+    # and trailing invalid rows contribute zero so e may safely extend to
+    # the array end for the last run.
+    s_feats = jnp.where(s_valid[:, None], field.feats[s_idx], 0)
+    csum = jnp.cumsum(s_feats.astype(jnp.float32), axis=0)
+    ccnt = jnp.cumsum(s_valid.astype(jnp.int32))
+    pos_next = jnp.concatenate(
+        [jnp.where(first, idx, n)[1:], jnp.full((1,), n, jnp.int32)]
+    )
+    next_first = jax.lax.cummin(pos_next, axis=0, reverse=True)
+    end_pos = jnp.clip(next_first - 1, 0, n - 1)
+    csum_prev = jnp.concatenate([jnp.zeros((1, csum.shape[1]), csum.dtype),
+                                 csum[:-1]])
+    ccnt_prev = jnp.concatenate([jnp.zeros((1,), ccnt.dtype), ccnt[:-1]])
+    run_sum = csum[end_pos] - csum_prev
+    run_cnt = jnp.maximum(ccnt[end_pos] - ccnt_prev, 1)
+    avg = (run_sum / run_cnt[:, None]).astype(field.feats.dtype)
+    scatter_to = jnp.where(first, slot, n)
+    out_feats = (
+        jnp.zeros((n + 1, avg.shape[1]), avg.dtype)
+        .at[scatter_to]
+        .set(avg, mode="drop")[:n]
+    )
+    out_coords = (
+        jnp.zeros((n + 1, 4), coords.dtype)
+        .at[scatter_to]
+        .set(coords[s_idx], mode="drop")[:n]
+    )
+    row_to_unique = (
+        jnp.zeros((n,), jnp.int32).at[s_idx].set(slot.astype(jnp.int32))
+    )
     sv = SparseVoxels(
-        coords=uniq_coords, feats=feats, mask=uniq_mask, stride=1
+        coords=out_coords, feats=out_feats, mask=out_mask, stride=1
     )
     return sv, row_to_unique
 

@@ -201,6 +201,36 @@ def test_field_sparse_roundtrip(rng):
         np.testing.assert_allclose(bf[i], svf[np.asarray(p2v)[i]], rtol=1e-6)
 
 
+def test_field_sparse_assume_unique_collision_poison(rng):
+    """A violated assume_unique declaration must fail loudly (NaN), not
+    silently keep duplicate rows (ADVICE r2: warping transforms can land
+    two voxels in one cell)."""
+    n = 16
+    coords = np.zeros((n, 4), np.float32)
+    coords[:8, 1:] = np.arange(8)[:, None]  # unique cells
+    feats = rng.normal(size=(n, 3)).astype(np.float32)
+    mask = np.arange(n) < 8
+    field = PointField(
+        coords=jnp.asarray(coords), feats=jnp.asarray(feats),
+        mask=jnp.asarray(mask),
+    )
+    sv, _ = field_to_sparse(field, voxel_size=1.0, assume_unique=True)
+    assert np.isfinite(np.asarray(sv.feats)[np.asarray(sv.mask)]).all()
+
+    coords[1, 1:] = coords[0, 1:] + 0.25  # same cell after floor
+    field = PointField(
+        coords=jnp.asarray(coords), feats=jnp.asarray(feats),
+        mask=jnp.asarray(mask),
+    )
+    sv, _ = field_to_sparse(field, voxel_size=1.0, assume_unique=True)
+    assert np.isnan(np.asarray(sv.feats)[np.asarray(sv.mask)]).any()
+    # the general path averages the colliders instead
+    sv2, _ = field_to_sparse(field, voxel_size=1.0, assume_unique=False)
+    f2 = np.asarray(sv2.feats)[np.asarray(sv2.mask)]
+    assert np.isfinite(f2).all()
+    assert int(np.asarray(sv2.mask).sum()) == 7
+
+
 def test_ops_jittable(rng):
     sv = make_sv(rng)
     offs = kernel_offsets(3, 1)

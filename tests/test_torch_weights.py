@@ -122,8 +122,17 @@ class _TimmAttention(tnn.Module):
         return self.proj(y)
 
 
+class _TimmLayerScale(tnn.Module):
+    def __init__(self, dim, init):
+        super().__init__()
+        self.gamma = tnn.Parameter(torch.full((dim,), init))
+
+    def forward(self, x):
+        return x * self.gamma
+
+
 class _TimmBlock(tnn.Module):
-    def __init__(self, dim, heads):
+    def __init__(self, dim, heads, layer_scale=None):
         super().__init__()
         self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
         self.attn = _TimmAttention(dim, heads)
@@ -131,32 +140,47 @@ class _TimmBlock(tnn.Module):
         self.mlp = tnn.Module()
         self.mlp.fc1 = tnn.Linear(dim, dim * 4)
         self.mlp.fc2 = tnn.Linear(dim * 4, dim)
+        ident = tnn.Identity()
+        self.ls1 = _TimmLayerScale(dim, layer_scale) if layer_scale else ident
+        self.ls2 = _TimmLayerScale(dim, layer_scale) if layer_scale else ident
 
     def forward(self, x):
-        x = x + self.attn(self.norm1(x))
-        return x + self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        x = x + self.ls1(self.attn(self.norm1(x)))
+        return x + self.ls2(
+            self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        )
 
 
 class _TimmViT(tnn.Module):
-    """timm-key-compatible ViT (tiny config for the fixture)."""
+    """timm-key-compatible ViT (tiny config for the fixture).
 
-    def __init__(self, dim, depth, heads, patch=16, img=32):
+    ``no_embed_class=True`` reproduces timm's deit3 ordering: pos_embed
+    spans patch tokens only and is added before the cls concat."""
+
+    def __init__(self, dim, depth, heads, patch=16, img=32,
+                 no_embed_class=False, layer_scale=None):
         super().__init__()
+        self.no_embed_class = no_embed_class
         self.patch_embed = tnn.Module()
         self.patch_embed.proj = tnn.Conv2d(3, dim, patch, patch)
-        n = (img // patch) ** 2 + 1
+        n = (img // patch) ** 2 + (0 if no_embed_class else 1)
         self.cls_token = tnn.Parameter(torch.randn(1, 1, dim) * 0.02)
         self.pos_embed = tnn.Parameter(torch.randn(1, n, dim) * 0.02)
         self.blocks = tnn.Sequential(
-            *[_TimmBlock(dim, heads) for _ in range(depth)]
+            *[_TimmBlock(dim, heads, layer_scale) for _ in range(depth)]
         )
         self.norm = tnn.LayerNorm(dim, eps=1e-6)
 
     def forward(self, x):
         B = x.shape[0]
         x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
-        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
-        x = self.blocks(x + self.pos_embed)
+        if self.no_embed_class:
+            x = x + self.pos_embed
+            x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        else:
+            x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+            x = x + self.pos_embed
+        x = self.blocks(x)
         return self.norm(x)[:, 0]  # cls features (head replaced by task)
 
 
@@ -198,6 +222,56 @@ def test_vit_converted_matches_torch(rng):
         )
     finally:
         vit_mod.VIT_SPECS.pop("_test_tiny", None)
+
+
+def test_deit3_converted_matches_torch(rng):
+    """deit3 fixtures: LayerScale + no_embed_class (timm adds pos_embed to
+    patch tokens before the cls concat — ADVICE r2 medium)."""
+    from nerf_downstream_tpu.models.image import vit as vit_mod
+    from nerf_downstream_tpu.models.image.torch_weights import (
+        convert_timm_vit,
+    )
+
+    dim, depth, heads = 48, 2, 4
+    vit_mod.VIT_SPECS["_test_deit3"] = dict(
+        dim=dim, depth=depth, heads=heads, layer_scale=1e-6,
+        no_embed_class=True,
+    )
+    try:
+        tm = _TimmViT(dim, depth, heads, no_embed_class=True,
+                      layer_scale=1e-6)
+        # fresh LayerScale is 1e-6 everywhere; randomize so the test can
+        # tell an imported gamma from an initialized one
+        with torch.no_grad():
+            for blk in tm.blocks:
+                blk.ls1.gamma.copy_(torch.rand(dim) * 0.1)
+                blk.ls2.gamma.copy_(torch.rand(dim) * 0.1)
+        tm.eval()
+        params = convert_timm_vit(tm.state_dict(), "_test_deit3")
+        assert params["pos_embed"].shape == (1, 4, dim)
+
+        x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            ty = tm(torch.tensor(np.transpose(x, (0, 3, 1, 2)))).numpy()
+
+        model = vit_mod.ViT(
+            num_classes=5, dim=dim, depth=depth, heads=heads,
+            layer_scale=1e-6, no_embed_class=True,
+        )
+        v = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+        assert v["params"]["pos_embed"].shape == (1, 4, dim)
+        merged = dict(v["params"])
+        merged.update(params)  # head stays fresh
+
+        head_k = np.asarray(v["params"]["head"]["kernel"])
+        head_b = np.asarray(v["params"]["head"]["bias"])
+        y = model.apply({"params": merged}, jnp.asarray(x), train=False)
+        ty_logits = ty @ head_k + head_b
+        np.testing.assert_allclose(
+            np.asarray(y), ty_logits, rtol=2e-4, atol=2e-4
+        )
+    finally:
+        vit_mod.VIT_SPECS.pop("_test_deit3", None)
 
 
 def test_apply_pretrained_roundtrip(rng, tmp_path, monkeypatch):
