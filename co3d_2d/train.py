@@ -6,8 +6,10 @@ gin-configured ``run()`` with the reference's parameter surface (:39-53).
 Checkpoints best-on-val/acc + last; epoch-driven schedule translated to
 steps (steps_per_epoch * max_epochs).
 
-TPU notes: ``num_gpus`` maps to data-parallel devices; ``precision=16``
-maps to bfloat16 compute.
+TPU notes: ``num_gpus > 1`` trains data-parallel over a ``jax.sharding``
+mesh — pmean'd gradients in a shard_map step with SyncBatchNorm via the BN
+``axis_name`` (the reference's ``accelerator="ddp"`` + ``sync_batchnorm``,
+co3d_2d/train.py:93-103); ``precision=16`` maps to bfloat16 compute.
 """
 
 from __future__ import annotations
@@ -68,7 +70,14 @@ def run(
     data_module = DataModule2D(
         process_index=jax.process_index(), process_count=jax.process_count()
     )
-    task = LitModel()
+    if num_gpus > 1:
+        assert data_module.batch_size % num_gpus == 0, (
+            f"batch_size {data_module.batch_size} not divisible by "
+            f"num_gpus {num_gpus}"
+        )
+        task = LitModel(axis_name="data", use_sync_batchnorm=True)
+    else:
+        task = LitModel()
     steps_per_epoch = data_module.steps_per_epoch()
     max_steps = steps_per_epoch * max_epochs
     task.set_num_training_steps(max_steps)
@@ -89,6 +98,7 @@ def run(
         monitor_metric="val/acc",
         seed=seed,
         resume_from_checkpoint=ckpt_path if resume_training else None,
+        devices=num_gpus,
     )
     state = None
     if run_train:

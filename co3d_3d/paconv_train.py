@@ -136,9 +136,19 @@ def main(argv=None):
     ds = dm.dataset("train")
     steps_per_epoch = max(1, len(ds) // args.batch_size)
     gin.bind("train", "max_steps", steps_per_epoch * args.epochs)
+    if args.devices > 1:
+        assert args.batch_size % args.devices == 0, (
+            f"batch_size {args.batch_size} not divisible by "
+            f"{args.devices} devices"
+        )
+        assert args.val_batch_size % args.devices == 0, (
+            f"val_batch_size {args.val_batch_size} not divisible by "
+            f"{args.devices} devices"
+        )
     task = DensePointTask(
         model, optimizer_name="SGD", scheduler_name="CosineAnnealingLR",
         lr=args.lr, weight_decay=args.weight_decay,
+        axis_name="data" if args.devices > 1 else None,
     )
     gin.parse_config("SGD.momentum = 0.9")
     trainer = Trainer(
@@ -146,6 +156,7 @@ def main(argv=None):
         val_every_n_steps=steps_per_epoch,
         loggers=[get_logger("csv", args.save_path, "paconv")],
         default_root_dir=args.save_path, monitor_metric="val/acc1",
+        devices=args.devices,
     )
     state = trainer.fit()
     return trainer.test(state, ckpt_path="best", phase="val")

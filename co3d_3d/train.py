@@ -5,9 +5,13 @@ Interface parity: ``python -m co3d_3d.train --ginc <cfg.gin> ... --ginb
 gin-configured entry function ``train()`` keeps the reference's full
 parameter surface (train.py:50-93) so all 28 3D config files bind unchanged.
 
-TPU notes: ``gpus`` is accepted and maps to the number of data-parallel
-devices; ``use_sync_batchnorm`` is accepted — masked-BN statistics are
-global under pjit so the conversion is a no-op (SURVEY §2.5).
+TPU notes: ``gpus > 1`` trains data-parallel over a ``jax.sharding.Mesh``
+(the reference's DDPPlugin, train.py:184): the batch is shard-partitioned
+(whole samples per device), gradients psum-reduce with the
+global-denominator loss, and validation runs through the shard_map eval
+step with psum'd metrics. ``use_sync_batchnorm`` builds the model with
+``bn_axis_name="data"`` so masked-BN statistics sync across devices
+(reference train.py:106-107).
 """
 
 from __future__ import annotations
@@ -98,10 +102,20 @@ def train(
 ):
     os.makedirs(save_path, exist_ok=True)
 
+    axis_name = "data" if gpus > 1 else None
+    if gpus > 1:
+        assert batch_size % gpus == 0, (
+            f"batch_size {batch_size} not divisible by gpus {gpus}"
+        )
+        assert val_batch_size % gpus == 0, (
+            f"val_batch_size {val_batch_size} not divisible by gpus {gpus}"
+        )
     if model is None:
-        model = get_model(num_batches=batch_size)
-    # use_sync_batchnorm: BN statistics are already global under pjit; no
-    # module conversion needed (reference train.py:106-107).
+        # per-device scene count: each shard holds whole samples
+        model_kwargs = {"num_batches": batch_size // max(gpus, 1)}
+        if axis_name is not None and use_sync_batchnorm:
+            model_kwargs["bn_axis_name"] = axis_name
+        model = get_model(**model_kwargs)
 
     if run_name is None or "default" in str(run_name).lower() or run_name == "":
         run_name = f"b{batch_size}x{gpus}-{type(model).__name__}"
@@ -124,6 +138,7 @@ def train(
         capacity=capacity,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        shards=max(gpus, 1),
     )
 
     task = get_training_module(training_module)(
@@ -145,6 +160,7 @@ def train(
         use_sync_grad=use_sync_grad,
         datamodule=data_module,
         scheduler_interval=scheduler_interval,
+        axis_name=axis_name,
     )
 
     logger_objs = [
@@ -177,6 +193,7 @@ def train(
         ),
         reset_profiler_every_n_steps=reset_profiler_every_n_steps,
         seed=seed,
+        devices=max(gpus, 1),
     )
     state = trainer.fit()
     logging.info("\n" + profiler.summary())

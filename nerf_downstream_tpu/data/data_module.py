@@ -103,6 +103,7 @@ class DataModule:
         process_index: int = 0,
         process_count: int = 1,
         dataset_cls=None,
+        shards: int = 1,
     ):
         self.batch_size = batch_size
         self.val_batch_size = val_batch_size
@@ -121,6 +122,17 @@ class DataModule:
         self.process_index = process_index
         self.process_count = process_count
         self._dataset_cls = dataset_cls
+        # shards > 1: emit shard-partitioned batches for the data-parallel
+        # Trainer (whole samples per shard, identical per-shard capacity)
+        self.shards = shards
+        if shards > 1:
+            assert batch_size % shards == 0, (
+                f"batch_size {batch_size} not divisible by {shards} shards"
+            )
+            assert val_batch_size % shards == 0, (
+                f"val_batch_size {val_batch_size} not divisible by "
+                f"{shards} shards"
+            )
         self._datasets: dict = {}
 
     def dataset(self, split: str):
@@ -130,6 +142,29 @@ class DataModule:
         return self._datasets[split]
 
     def _collate(self, samples, capacity, pad_to_batch=None):
+        if self.collate_name == "collate_mink" and self.shards > 1:
+            from nerf_downstream_tpu.data.utils import collate_mink_sharded
+
+            cap_shard = capacity // self.shards if capacity else None
+            if cap_shard is not None:
+                # subsample per shard group so every group fits its slice
+                groups = [samples[i::self.shards] for i in range(self.shards)]
+                fitted = [
+                    _subsample_to_fit(g, cap_shard, self.rng) for g in groups
+                ]
+                # restore the original interleaving (the sharded collate
+                # regroups i::shards internally)
+                samples = [None] * len(samples)
+                for i, g in enumerate(fitted):
+                    samples[i::self.shards] = g
+            return collate_mink_sharded(
+                samples,
+                self.shards,
+                capacity_per_shard=cap_shard,
+                ignore_label=self.ignore_label,
+                min_capacity=self.min_capacity,
+                pad_to_batch=pad_to_batch,
+            )
         if self.collate_name == "collate_mink":
             if capacity is not None:
                 samples = _subsample_to_fit(samples, capacity, self.rng)

@@ -48,7 +48,14 @@ def collate_mink(
     point_labels, sample_labels = [], []
     metadata = []
     has_dists = "dists" in samples[0]
+    # per-point vs per-sample labels, decided on the first sample with rows
+    # (zero-row pad samples from the sharded collate are uninformative)
     per_point = None
+    for s in samples:
+        n = len(s["coordinates"])
+        if n > 0:
+            per_point = len(np.asarray(s["labels"]).reshape(-1)) == n and n > 1
+            break
     extent = _configured_grid_extent()
     for b, s in enumerate(samples):
         c = np.asarray(s["coordinates"], np.float32)
@@ -71,12 +78,10 @@ def collate_mink(
         )
         feats_rows.append(np.asarray(s["features"], np.float32))
         lab = np.asarray(s["labels"]).reshape(-1)
-        if per_point is None:
-            per_point = len(lab) == n and n > 1
         if per_point:
             point_labels.append(lab.astype(np.int32))
         else:
-            sample_labels.append(int(lab[0]))
+            sample_labels.append(int(lab[0]) if len(lab) else 0)
         if has_dists:
             dists_rows.append(np.asarray(s["dists"], np.float32).reshape(n, -1))
         metadata.append(s.get("metadata", {}))
@@ -125,18 +130,54 @@ def collate_mink(
     return batch
 
 
+def _empty_like_sample(ref: dict) -> dict:
+    """Zero-row pad sample (ragged final val batches under sharding): no
+    rows -> no metric contribution for segmentation; classification pads
+    label 0 and is masked via ``sample_mask``."""
+    n_ref = len(ref["coordinates"])
+    lab = np.asarray(ref["labels"]).reshape(-1)
+    per_point = len(lab) == n_ref and n_ref > 1
+    out = {
+        "coordinates": np.zeros((0, 3), np.float32),
+        "features": np.zeros(
+            (0, np.asarray(ref["features"]).shape[1]), np.float32
+        ),
+        "labels": (
+            np.zeros((0,), np.int32) if per_point else np.zeros(1, np.int32)
+        ),
+        "metadata": {"pad": True},
+    }
+    if "dists" in ref:
+        out["dists"] = np.zeros(
+            (0, np.asarray(ref["dists"]).reshape(n_ref, -1).shape[1]),
+            np.float32,
+        )
+    return out
+
+
 def collate_mink_sharded(
     samples: list[dict],
     shards: int,
     capacity_per_shard: int | None = None,
     ignore_label: int = -100,
     min_capacity: int = 1024,
+    pad_to_batch: int | None = None,
 ) -> dict:
     """Collate for shard_map data parallelism: samples are partitioned into
     ``shards`` groups (whole samples per shard — kernel maps stay local),
     each padded to an identical per-shard capacity, then concatenated so the
     leading dim shards evenly over the mesh axis. Batch indices are local to
-    each shard (global pooling runs per-device)."""
+    each shard (global pooling runs per-device).
+
+    ``pad_to_batch``: pad a ragged sample list (final val batch) with
+    zero-row samples up to this count; classification batches additionally
+    get a ``sample_mask`` excluding the pads from loss/metrics."""
+    n_real = len(samples)
+    if pad_to_batch is not None and pad_to_batch > n_real:
+        samples = samples + [
+            _empty_like_sample(samples[0])
+            for _ in range(pad_to_batch - n_real)
+        ]
     assert len(samples) % shards == 0, (
         f"batch of {len(samples)} not divisible into {shards} shards"
     )
@@ -158,6 +199,17 @@ def collate_mink_sharded(
             out[k] = np.asarray([p[k] for p in parts], np.int32)
         else:
             out[k] = np.concatenate([np.atleast_1d(p[k]) for p in parts], 0)
+    if (
+        pad_to_batch is not None
+        and len(samples) > n_real
+        and out["labels"].shape[0] == len(samples)
+    ):
+        # classification: mark pad samples, in the grouped (i::shards) order
+        real = np.arange(len(samples)) < n_real
+        order = np.concatenate(
+            [np.arange(len(samples))[i::shards] for i in range(shards)]
+        )
+        out["sample_mask"] = real[order]
     out["shards"] = shards
     return out
 

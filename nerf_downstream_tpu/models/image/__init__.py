@@ -26,6 +26,7 @@ class _ResNetBased(nn.Module):
     num_classes: int = 51
     pretrained: bool = False
     dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
 
     # weight-import metadata (models/image/torch_weights.py)
     pretrained_arch = property(lambda self: self.model)
@@ -34,7 +35,8 @@ class _ResNetBased(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = ResNet2D(
-            **RESNET_SPECS[self.model], dtype=self.dtype, name="model"
+            **RESNET_SPECS[self.model], dtype=self.dtype,
+            bn_axis_name=self.bn_axis_name, name="model",
         )(x, train)
         feats = nn.Dropout(self.dropout_rate, deterministic=not train)(feats)
         return nn.Dense(self.num_classes, name="fc")(feats)
@@ -43,14 +45,14 @@ class _ResNetBased(nn.Module):
 @cfg.configurable("ResNetBased")
 def ResNetBased(model: str = "resnet18", dropout_rate: float = 0.2,
                 pretrained: bool = False, num_classes: int = 51,
-                dtype=jnp.float32):
+                dtype=jnp.float32, bn_axis_name: str | None = None):
     # pretrained weights load from the local converted store at state
     # creation (LitModel.create_state -> torch_weights.apply_pretrained);
     # the reference's torch.hub download (models.py:17-22) has no place in a
     # zero-egress build.
     return _ResNetBased(
         model=model, dropout_rate=dropout_rate, num_classes=num_classes,
-        pretrained=pretrained, dtype=dtype,
+        pretrained=pretrained, dtype=dtype, bn_axis_name=bn_axis_name,
     )
 
 
@@ -63,11 +65,12 @@ def ViTBased(model: str = "vit_small_patch16_224", pretrained: bool = False,
     )
 
 
-def select_model(model_name: str):
+def select_model(model_name: str, bn_axis_name: str | None = None):
     if model_name is None:
         raise NameError("model_name is required")
     if model_name in RESNET_LIST:
-        return ResNetBased(model_name)
+        return ResNetBased(model_name, bn_axis_name=bn_axis_name)
     if model_name in VIT_LIST:
+        # ViTs carry no BatchNorm — nothing to sync
         return ViTBased(model_name)
     raise NameError(f"Unknown model name : {model_name}")

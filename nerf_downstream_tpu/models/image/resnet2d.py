@@ -20,12 +20,14 @@ class BasicBlock2D(nn.Module):
     planes: int
     stride: int = 1
     dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         norm = lambda name, scale_init=nn.initializers.ones: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, name=name,
             scale_init=scale_init, dtype=self.dtype,
+            axis_name=self.bn_axis_name,
         )
         residual = x
         y = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
@@ -51,6 +53,7 @@ class Bottleneck2D(nn.Module):
     groups: int = 1
     base_width: int = 64
     dtype: Any = jnp.float32
+    bn_axis_name: str | None = None
     expansion = 4
 
     @nn.compact
@@ -58,6 +61,7 @@ class Bottleneck2D(nn.Module):
         norm = lambda name, scale_init=nn.initializers.ones: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, name=name,
             scale_init=scale_init, dtype=self.dtype,
+            axis_name=self.bn_axis_name,
         )
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out_ch = self.planes * self.expansion
@@ -90,6 +94,9 @@ class ResNet2D(nn.Module):
     groups: int = 1
     base_width: int = 64
     dtype: Any = jnp.float32
+    # SyncBatchNorm under shard_map data parallelism (reference
+    # co3d_2d/train.py:93-103 sync_batchnorm=True): set to the mesh axis
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,7 +104,8 @@ class ResNet2D(nn.Module):
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, name="bn1")(x)
+                         dtype=self.dtype, name="bn1",
+                         axis_name=self.bn_axis_name)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         planes = (64, 128, 256, 512)
@@ -107,12 +115,14 @@ class ResNet2D(nn.Module):
                 if self.block == "basic":
                     x = BasicBlock2D(
                         p, stride, dtype=self.dtype,
+                        bn_axis_name=self.bn_axis_name,
                         name=f"layer{stage + 1}_{i}",
                     )(x, train)
                 else:
                     x = Bottleneck2D(
                         p, stride, self.groups, self.base_width,
-                        dtype=self.dtype, name=f"layer{stage + 1}_{i}",
+                        dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                        name=f"layer{stage + 1}_{i}",
                     )(x, train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))
         return x

@@ -96,6 +96,10 @@ def make_parallel_eval_step(task, mesh: Mesh, axis: str = "data"):
             state.params, state.batch_stats, batch, train=False
         )
         loss, mets = task.loss_and_metrics(logits, batch)
+        # metrics from loss_and_metrics are already globally reduced (psum
+        # under axis_name); the loss is local-numerator/global-denominator —
+        # psum it so the P() out_spec really is replicated
+        loss = jax.lax.psum(loss, axis)
         return logits, dict(mets, loss=loss)
 
     def wrapped(state, batch):

@@ -9,6 +9,13 @@ NaN-loss guard (segmentation_training.py:77-79), and the final
 TPU-native: one jitted train_step; the host loop only feeds batches,
 logs, and checkpoints. Async dispatch keeps the device busy — metrics are
 fetched with a 1-step delay so logging never blocks the pipeline.
+
+``devices > 1`` activates the data-parallel path (the reference's
+``Trainer(gpus=N, accelerator="ddp")``, co3d_3d/train.py:174-187): a
+1-D ``data`` mesh, the task's shard_map train/eval steps (psum'd grads,
+global-denominator loss, synced metrics), replicated state, batches
+sharded on their leading dim. The datamodule must emit shard-partitioned
+batches (``DataModule(shards=devices)`` / ``collate_mink_sharded``).
 """
 
 from __future__ import annotations
@@ -52,6 +59,7 @@ class Trainer:
         resume_from_checkpoint: Optional[str] = None,
         reset_profiler_every_n_steps: int = 1000,
         seed: int = 0,
+        devices: int = 1,
     ):
         self.task = task
         self.datamodule = datamodule
@@ -67,6 +75,20 @@ class Trainer:
         self.resume_from_checkpoint = resume_from_checkpoint
         self.reset_profiler_every_n_steps = reset_profiler_every_n_steps
         self.seed = seed
+        self.devices = devices
+        self.mesh = None
+        if devices > 1:
+            import jax as _jax
+
+            avail = len(_jax.devices())
+            if devices > avail:
+                raise ValueError(
+                    f"requested {devices} data-parallel devices but only "
+                    f"{avail} are visible"
+                )
+            from nerf_downstream_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(devices)
         self.best_score = -np.inf if monitor_mode == "max" else np.inf
         self.best_ckpt_path = os.path.join(default_root_dir, "best.ckpt")
         self.last_ckpt_path = os.path.join(default_root_dir, "last.ckpt")
@@ -85,6 +107,36 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _place_batch(self, batch: dict) -> dict:
+        """Shard array leaves over the mesh's data axis (replicate leaves
+        whose leading dim doesn't split evenly — scalars, per-batch ints)."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        row = NamedSharding(self.mesh, P("data"))
+        rep = NamedSharding(self.mesh, P())
+
+        def put(v):
+            v = np.asarray(v)
+            if v.ndim >= 1 and v.shape[0] % self.devices == 0 and v.shape[0]:
+                return jax.device_put(v, row)
+            return jax.device_put(v, rep)
+
+        return {k: put(v) for k, v in batch.items()}
+
+    def _local_slice(self, batch: dict) -> dict:
+        """First shard's rows of a shard-partitioned batch (for state init:
+        the model is built with per-device shapes)."""
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if v.ndim >= 1 and v.shape[0] % self.devices == 0 and v.shape[0]:
+                out[k] = v[: v.shape[0] // self.devices]
+            else:
+                out[k] = v
+        return out
+
     def fit(self, state=None):
         task = self.task
         dm = self.datamodule
@@ -94,7 +146,12 @@ class Trainer:
         with self.profiler.profile("get_train_batch"):
             first_batch = next(train_iter)
         if state is None:
-            state = task.create_state(rng, first_batch)
+            init_batch = (
+                self._local_slice(array_batch(first_batch))
+                if self.mesh is not None
+                else first_batch
+            )
+            state = task.create_state(rng, init_batch)
         if self.resume_from_checkpoint:
             raw = checkpoints.load_checkpoint(self.resume_from_checkpoint)
             state = checkpoints.restore_into(
@@ -108,7 +165,13 @@ class Trainer:
                 f"{raw['global_step']}"
             )
 
-        train_step = task.make_train_step()
+        if self.mesh is not None:
+            from nerf_downstream_tpu.parallel.mesh import replicate
+
+            state = replicate(self.mesh, state)
+            train_step = task.make_parallel_train_step(self.mesh)
+        else:
+            train_step = task.make_train_step()
         start_step = int(state.step)
         pending = None  # (step, device metrics) fetched one step late
         batch = first_batch
@@ -123,7 +186,9 @@ class Trainer:
 
         for step in range(start_step, max_steps):
             with self.profiler.profile("run_training_batch"):
-                state, mets = train_step(state, array_batch(batch))
+                state, mets = train_step(
+                    state, self._place_batch(array_batch(batch))
+                )
 
             if pending is not None:
                 self._emit_train_logs(*pending)
@@ -192,12 +257,17 @@ class Trainer:
 
     def validate(self, state, phase: str = "val") -> dict:
         task = self.task
-        eval_step = task.make_eval_step()
+        if self.mesh is not None:
+            eval_step = task.make_parallel_eval_step(self.mesh)
+        else:
+            eval_step = task.make_eval_step()
         task.on_validation_start()
         results = []
         for batch in self.datamodule.val_batches(phase):
             t0 = time.perf_counter()
-            logits, mets = eval_step(state, array_batch(batch))
+            logits, mets = eval_step(
+                state, self._place_batch(array_batch(batch))
+            )
             jax.block_until_ready(logits)
             iter_time = time.perf_counter() - t0
             task.validation_batch_end(logits, batch)

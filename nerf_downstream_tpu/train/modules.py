@@ -214,6 +214,32 @@ class BaseTask:
         self._train_step_cache[donate] = fn
         return fn
 
+    def make_parallel_train_step(self, mesh, axis: str = "data"):
+        """shard_map data-parallel step over ``mesh`` (Trainer devices>1);
+        requires the task to have been built with ``axis_name == axis``."""
+        key = ("parallel", id(mesh))
+        if key not in self._train_step_cache:
+            from nerf_downstream_tpu.parallel.train import (
+                make_parallel_train_step,
+            )
+
+            self._train_step_cache[key] = make_parallel_train_step(
+                self, mesh, axis
+            )
+        return self._train_step_cache[key]
+
+    def make_parallel_eval_step(self, mesh, axis: str = "data"):
+        key = ("parallel_eval", id(mesh))
+        if key not in self._train_step_cache:
+            from nerf_downstream_tpu.parallel.train import (
+                make_parallel_eval_step,
+            )
+
+            self._train_step_cache[key] = make_parallel_eval_step(
+                self, mesh, axis
+            )
+        return self._train_step_cache[key]
+
     def make_eval_step(self):
         if self._eval_step_cache is not None:
             return self._eval_step_cache

@@ -45,6 +45,8 @@ class LitModel:
         weight_decay: float = 1e-4,
         label_smoothing: float = 0.005,
         num_training_steps: int = 10000,
+        axis_name: Optional[str] = None,
+        use_sync_batchnorm: bool = False,
     ):
         from nerf_downstream_tpu.models.image import select_model
 
@@ -53,7 +55,14 @@ class LitModel:
         self.weight_decay = weight_decay
         self.label_smoothing = label_smoothing
         self.num_training_steps = num_training_steps
-        self.model = select_model(model_name)
+        # data-parallel axis (Trainer devices>1); sync BN when asked, like
+        # the reference's accelerator="ddp" + sync_batchnorm
+        # (co3d_2d/train.py:93-103)
+        self.axis_name = axis_name
+        self.model = select_model(
+            model_name,
+            bn_axis_name=axis_name if use_sync_batchnorm else None,
+        )
         self._train_step_cache = None
         self._eval_step_cache = None
         self.schedule = warmup_quarter_cosine(lr, num_training_steps)
@@ -128,38 +137,108 @@ class LitModel:
 
         def train_step(state: TrainState, batch):
             dropout_key = jax.random.fold_in(base_key, state.step)
-            imgs = batch["images"]
-            labels = batch["labels"]
-
-            def loss_fn(params):
-                variables = {"params": params}
-                mutable = []
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                    mutable = ["batch_stats"]
-                out = state.apply_fn(
-                    variables, imgs, train=True, mutable=mutable,
-                    rngs={"dropout": dropout_key},
-                )
-                logits, mut = out if mutable else (out, {})
-                celoss = self._celoss(logits, labels)
-                wdloss = self._wdloss(params)
-                acc = 100.0 * jnp.mean(
-                    (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
-                )
-                new_stats = mut.get("batch_stats", state.batch_stats)
-                return celoss + wdloss, (new_stats, celoss, wdloss, acc)
-
-            (loss, (new_stats, celoss, wdloss, acc)), grads = (
-                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            )
-            new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
-            return new_state, {
-                "loss": loss, "celoss": celoss, "wdloss": wdloss, "acc": acc,
-            }
+            return self._train_step_body(state, batch, dropout_key)
 
         self._train_step_cache = jax.jit(train_step, donate_argnums=(0,))
         return self._train_step_cache
+
+    def _train_step_body(self, state: TrainState, batch, dropout_key):
+        """Uncompiled step body shared by the single-device and shard_map
+        paths (the parallel path pmeans grads across the data axis)."""
+        imgs = batch["images"]
+        labels = batch["labels"]
+
+        def loss_fn(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = state.apply_fn(
+                variables, imgs, train=True, mutable=mutable,
+                rngs={"dropout": dropout_key},
+            )
+            logits, mut = out if mutable else (out, {})
+            celoss = self._celoss(logits, labels)
+            wdloss = self._wdloss(params)
+            acc = 100.0 * jnp.mean(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+            )
+            new_stats = mut.get("batch_stats", state.batch_stats)
+            return celoss + wdloss, (new_stats, celoss, wdloss, acc)
+
+        (loss, (new_stats, celoss, wdloss, acc)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        if self.axis_name is not None:
+            # equal per-device batch sizes -> the global-batch gradient is
+            # the mean of per-device means (DDP's all-reduce average)
+            grads = jax.lax.pmean(grads, self.axis_name)
+            loss, celoss, wdloss, acc = jax.lax.pmean(
+                (loss, celoss, wdloss, acc), self.axis_name
+            )
+        new_state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return new_state, {
+            "loss": loss, "celoss": celoss, "wdloss": wdloss, "acc": acc,
+        }
+
+    def make_parallel_train_step(self, mesh, axis: str = "data"):
+        from jax.sharding import PartitionSpec as P
+
+        assert self.axis_name == axis, (
+            f"LitModel.axis_name={self.axis_name!r} must equal mesh axis "
+            f"{axis!r} for data-parallel training"
+        )
+        base_key = jax.random.PRNGKey(0)
+
+        def step(state, batch):
+            dropout_key = jax.random.fold_in(base_key, state.step)
+            return self._train_step_body(state, batch, dropout_key)
+
+        def wrapped(state, batch):
+            specs = jax.tree_util.tree_map(
+                lambda v: P(axis) if np.ndim(v) >= 1 else P(), batch
+            )
+            return jax.shard_map(
+                step, mesh=mesh, in_specs=(P(), specs),
+                out_specs=(P(), P()), check_vma=False,
+            )(state, batch)
+
+        return jax.jit(wrapped, donate_argnums=(0,))
+
+    def make_parallel_eval_step(self, mesh, axis: str = "data"):
+        from jax.sharding import PartitionSpec as P
+
+        def step(state, batch):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits = state.apply_fn(variables, batch["images"], train=False)
+            mask = batch.get("sample_mask")
+            if mask is None:
+                mask = jnp.ones(logits.shape[0], jnp.float32)
+            w = jnp.asarray(mask, jnp.float32)
+            c = logits.shape[-1]
+            eps = self.label_smoothing
+            onehot = (
+                jax.nn.one_hot(batch["labels"], c) * (1 - eps) + eps / c
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            nll = -jnp.sum(onehot * logp, -1)
+            num = jax.lax.psum(jnp.sum(nll * w), axis)
+            den = jax.lax.psum(jnp.sum(w), axis)
+            return logits, {"loss": num / jnp.maximum(den, 1)}
+
+        def wrapped(state, batch):
+            specs = jax.tree_util.tree_map(
+                lambda v: P(axis) if np.ndim(v) >= 1 else P(), batch
+            )
+            return jax.shard_map(
+                step, mesh=mesh, in_specs=(P(), specs),
+                out_specs=(P(axis), P()), check_vma=False,
+            )(state, batch)
+
+        return jax.jit(wrapped)
 
     def make_eval_step(self):
         if self._eval_step_cache is not None:

