@@ -38,3 +38,42 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------------------
+# Quick tier: one fast, representative test per subsystem, markable centrally
+# so the driver/judge can get a green signal in <5 min on one core
+# (`pytest -m quick`). The full suite remains the default (`addopts` only
+# sets -q).
+QUICK_TESTS = {
+    "test_sparse_core.py::test_field_sparse_roundtrip",
+    "test_sparse_core.py::test_field_sparse_assume_unique_collision_poison",
+    "test_grid_kernel_map.py",  # whole file is sub-second lookups
+    "test_block_conv.py::test_block_conv_forward_matches_row",
+    "test_block_resident.py::test_model_forward_matches_row",
+    "test_ops.py::test_conv_matches_dense_reference",
+    "test_ops.py::test_sync_batchnorm_psum_equals_global",
+    "test_optim.py::test_poly_lr",
+    "test_optim.py::test_sgd_momentum_binding",
+    "test_config.py::test_last_wins_precedence",
+    "test_config.py::test_parse_reference_config_files",
+    "test_data_pipeline.py::test_collate_mink_padding",
+    "test_data_pipeline.py::test_co3d_dataset",
+    "test_models_mink.py::test_res16unet14a_forward",
+    "test_train_loop.py::test_segmentation_training_loop",
+    "test_parallel.py::test_parallel_matches_single_device",
+    "test_2d_stack.py::test_resnet2d_forward",
+    "test_powernorm_vjp.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        rel = item.nodeid.split("::", 1)
+        fname = os.path.basename(rel[0])
+        full = fname + ("::" + rel[1] if len(rel) > 1 else "")
+        test_fn = full.split("[", 1)[0]
+        if fname in QUICK_TESTS or test_fn in QUICK_TESTS:
+            item.add_marker(_pytest.mark.quick)
