@@ -30,6 +30,7 @@ from nerf_downstream_tpu.ops.norm import (
 )
 from nerf_downstream_tpu.ops.pool import global_pool, window_pool
 from nerf_downstream_tpu.ops.sparse_conv import sparse_conv_apply
+from nerf_downstream_tpu.ops.window_conv import window_conv_apply
 from nerf_downstream_tpu.sparse import kernel_offsets
 from nerf_downstream_tpu.sparse.context import CoordinateContext
 from nerf_downstream_tpu.sparse.types import SparseVoxels
@@ -42,6 +43,19 @@ def as_rows(sv):
     if isinstance(sv, BlockVoxels):
         return br.to_rows(sv)
     return sv
+
+
+def _window_groups_ok(offs) -> bool:
+    """Windowed gathers need uniform-size (dx, dy) offset groups (full
+    kernel grids and ZAXIS subsets qualify; arbitrary pruned subsets may
+    not — those fall back to the row gather)."""
+    from nerf_downstream_tpu.ops.window_conv import group_offsets
+
+    try:
+        group_offsets(offs)
+        return True
+    except AssertionError:
+        return False
 
 
 def _kaiming_conv_init(key, shape, dtype=jnp.float32):
@@ -199,9 +213,18 @@ class SparseConv(nn.Module):
             if self.use_bias
             else None
         )
-        out_f = sparse_conv_apply(
-            sv.feats, km, w, b, compute_dtype=self.compute_dtype, inv_map=inv
-        ).astype(self.compute_dtype)
+        if ctx.use_window() and _window_groups_ok(offs):
+            plan = ctx.window_plan(km, sv.capacity, offs)
+            inv_plan = ctx.window_plan(inv, out_sv.capacity, offs)
+            out_f = window_conv_apply(
+                sv.feats, plan, inv_plan, w, b,
+                compute_dtype=self.compute_dtype, guard=ctx.overflow_guard,
+            ).astype(self.compute_dtype)
+        else:
+            out_f = sparse_conv_apply(
+                sv.feats, km, w, b, compute_dtype=self.compute_dtype,
+                inv_map=inv,
+            ).astype(self.compute_dtype)
         return SparseVoxels(
             coords=out_sv.coords,
             feats=out_f,
@@ -307,9 +330,18 @@ class SparseConvTranspose(nn.Module):
             if self.use_bias
             else None
         )
-        out_f = sparse_conv_apply(
-            sv.feats, km, w, b, compute_dtype=self.compute_dtype, inv_map=inv
-        ).astype(self.compute_dtype)
+        if ctx.use_window() and _window_groups_ok(offs):
+            plan = ctx.window_plan(km, sv.capacity, offs)
+            inv_plan = ctx.window_plan(inv, target.capacity, offs)
+            out_f = window_conv_apply(
+                sv.feats, plan, inv_plan, w, b,
+                compute_dtype=self.compute_dtype, guard=ctx.overflow_guard,
+            ).astype(self.compute_dtype)
+        else:
+            out_f = sparse_conv_apply(
+                sv.feats, km, w, b, compute_dtype=self.compute_dtype,
+                inv_map=inv,
+            ).astype(self.compute_dtype)
         return SparseVoxels(
             coords=target.coords,
             feats=out_f,

@@ -1,0 +1,289 @@
+"""Windowed sparse convolution: monotone kernel maps -> contiguous-slice
+gathers + in-window one-hot MXU matmuls.
+
+THE data-structure insight (round-3 redesign of the k3/s1 conv): every
+coordinate set in this framework is stored in sorted (b, x, y, z) key order
+(packing.sort_with_payload), and a kernel map "find the row of coord+d" for
+a FIXED offset d preserves that order — each of the K per-offset maps is
+strictly increasing over its valid entries. A monotone gather needs no
+random access: tile the outputs into runs of T rows; each tile's inputs
+live in one contiguous window of the input array. The gather becomes
+
+    window  = feats[start_t : start_t + W]          (one big slice / tile)
+    gathered = onehot(idx) @ window                  (MXU matmul)
+
+which replaces the latency-bound XLA row gather (measured 40-140 GB/s
+effective, single-digit MXU) with sequential slice reads plus matmuls —
+the Switch-Transformer dispatch-einsum trick applied to voxel geometry.
+Offsets sharing (dx, dy) differ only in dz — the fastest-varying sort key —
+so their maps are near-identical and share one window per tile (3x fewer
+slice gathers for a 3^3 kernel).
+
+Out-of-window entries (input span > W inside one tile, e.g. a sparse plane
+mapping into a dense one) are counted at plan build; a non-zero count
+NaN-poisons the output (fail loud, like the block-cap overflow guard) —
+``window_size`` is a per-dataset knob like ``grid_extent``/``block_caps``.
+Measured on the bench workload: T=256/W=512 escapes 0.07%, W=1024 zero.
+
+Backward is gather-only: d_feats rides the transpose kernel map's own
+window plan (the maps are mutually inverse per offset), d_w recomputes the
+forward gathers — no scatters anywhere.
+
+Reference semantics reproduced: MinkowskiConvolution on an arbitrary
+kernel map (co3d_3d/src/models/mink/modules/sparse_conv.py:122-152) —
+re-derived for the TPU memory system, not translated.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@flax.struct.dataclass
+class WindowPlan:
+    """Tiled window layout for one kernel map (one per map, ctx-cached).
+
+    ``starts[g, t]``: input-row offset of tile t's window for offset-group
+    g.  ``idx[g, m, i]``: in-window index of output row i's neighbor under
+    group-member m (-1 = no neighbor / escaped).  ``n_escaped``: valid
+    entries whose neighbor fell outside [start, start+W) — must be 0.
+    """
+
+    starts: jax.Array  # int32[G, nT]
+    idx: jax.Array  # int32[G, M, N_out]
+    n_escaped: jax.Array  # int32 scalar
+    perm: tuple = flax.struct.field(pytree_node=False, default=())
+    tile: int = flax.struct.field(pytree_node=False, default=256)
+    window: int = flax.struct.field(pytree_node=False, default=512)
+
+
+def group_offsets(offsets: np.ndarray) -> tuple[tuple[int, ...], ...]:
+    """Partition kernel-offset indices into groups sharing (dx, dy).
+
+    The sort key varies z fastest, so maps of offsets that differ only in
+    dz are within a few ranks of each other and share a window. Groups must
+    be uniform-size for the scan'd apply; offsets from ``kernel_offsets``
+    (full k^3 / k^2 grids) always are.
+    """
+    keys: dict[tuple[int, int], list[int]] = {}
+    for i, (dx, dy, _dz) in enumerate(np.asarray(offsets)):
+        keys.setdefault((int(dx), int(dy)), []).append(i)
+    groups = tuple(tuple(v) for v in keys.values())
+    sizes = {len(g) for g in groups}
+    assert len(sizes) == 1, f"non-uniform offset groups: {groups}"
+    return groups
+
+
+def build_plan(
+    kernel_map: jax.Array,
+    n_in: int,
+    offsets: np.ndarray,
+    tile: int = 256,
+    window: int = 512,
+) -> WindowPlan:
+    """Tile a monotone kernel map into window starts + in-window indices."""
+    k, n_out = kernel_map.shape
+    assert n_out % tile == 0, (
+        f"capacity {n_out} not divisible by window tile {tile}"
+    )
+    nt = n_out // tile
+    groups = group_offsets(offsets)
+    perm = tuple(i for g in groups for i in g)
+    m = len(groups[0])
+    km = kernel_map[jnp.asarray(perm)].reshape(len(groups), m, n_out)
+    valid = km < n_in
+    big = jnp.int32(1 << 30)
+    # smallest valid neighbor rank in each (group, tile); empty tiles
+    # inherit the previous tile's start (maps are monotone, so a later
+    # valid entry is >= any earlier start)
+    gmin = jnp.min(jnp.where(valid, km, big), axis=1)  # [G, N_out]
+    tmin = jnp.min(gmin.reshape(-1, nt, tile), axis=2)  # [G, nT]
+    tmin = jnp.where(tmin == big, -1, tmin)
+    starts = jnp.maximum(jax.lax.cummax(tmin, axis=1), 0)
+    # clamp so the window never reads past the padded input
+    starts = jnp.minimum(starts, max(n_in - window, 0)).astype(jnp.int32)
+    rel = km - jnp.repeat(starts[:, None, :], tile, axis=2).reshape(
+        len(groups), 1, n_out
+    )
+    in_win = valid & (rel >= 0) & (rel < window)
+    n_escaped = jnp.sum((valid & ~in_win).astype(jnp.int32))
+    idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+    return WindowPlan(
+        starts=starts,
+        idx=idx,
+        n_escaped=n_escaped,
+        perm=perm,
+        tile=tile,
+        window=window,
+    )
+
+
+def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
+                          compute_dtype):
+    """sum over (g, m) of onehot(idx[g, m]) @ window_g @ w[g, m]; f32 acc.
+
+    feats_pad: [n_in + window, C]; starts [G, nT]; idx [G, M, N];
+    w_perm [G, M, C, Cout]. One lax.scan over groups keeps the compiled
+    program size O(1) in K (round-2 lesson: 18 conv subgraphs cost 170 s
+    of compile).
+    """
+    g_count, nt = starts.shape
+    n_out = idx.shape[2]
+    c = feats_pad.shape[1]
+    cout = w_perm.shape[-1]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, window), 2)
+
+    def per_group(acc, xs):
+        starts_g, idx_g, w_g = xs  # [nT], [M, N], [M, C, Cout]
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(feats_pad, (s, 0), (window, c))
+        )(starts_g)  # [nT, W, C]
+
+        def per_member(acc_in, ys):
+            idx_k, w_k = ys
+            oh = (idx_k.reshape(nt, tile, 1) == iota_w).astype(compute_dtype)
+            gathered = jax.lax.dot_general(
+                oh, win,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=compute_dtype,
+            )  # [nT, T, C]
+            out = jnp.dot(
+                gathered.reshape(n_out, c), w_k,
+                preferred_element_type=jnp.float32,
+            )
+            return acc_in + out, None
+
+        acc, _ = jax.lax.scan(per_member, acc, (idx_g, w_g))
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        per_group,
+        jnp.zeros((n_out, cout), jnp.float32),
+        (starts, idx, w_perm),
+    )
+    return acc
+
+
+def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype):
+    """d_w[g, m] = gathered[g, m]^T @ g_out (forward gathers recomputed)."""
+    g_count, nt = starts.shape
+    n_out = idx.shape[2]
+    c = feats_pad.shape[1]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, window), 2)
+
+    def per_group(_, xs):
+        starts_g, idx_g = xs
+        win = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(feats_pad, (s, 0), (window, c))
+        )(starts_g)
+
+        def per_member(_, idx_k):
+            oh = (idx_k.reshape(nt, tile, 1) == iota_w).astype(compute_dtype)
+            gathered = jax.lax.dot_general(
+                oh, win,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=compute_dtype,
+            )
+            d_w = jnp.dot(
+                gathered.reshape(n_out, c).T, g_out,
+                preferred_element_type=jnp.float32,
+            )
+            return None, d_w
+
+        _, d_ws = jax.lax.scan(per_member, None, idx_g)
+        return None, d_ws
+
+    _, d_w = jax.lax.scan(per_group, None, (starts, idx))
+    return d_w  # [G, M, C, Cout]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _window_conv_core(feats_pad, starts, idx, inv_starts, inv_idx, tile,
+                      window, compute_dtype, w_perm):
+    return _window_gather_matmul(
+        feats_pad, starts, idx, w_perm, tile, window, compute_dtype
+    )
+
+
+def _core_fwd(feats_pad, starts, idx, inv_starts, inv_idx, tile, window,
+              compute_dtype, w_perm):
+    out = _window_gather_matmul(
+        feats_pad, starts, idx, w_perm, tile, window, compute_dtype
+    )
+    return out, (feats_pad, starts, idx, inv_starts, inv_idx, w_perm)
+
+
+def _core_bwd(tile, window, compute_dtype, res, g):
+    feats_pad, starts, idx, inv_starts, inv_idx, w_perm = res
+    n_pad, cin = feats_pad.shape
+    n_in = n_pad - window
+    gc = g.astype(compute_dtype)
+    g_pad = jnp.concatenate(
+        [gc, jnp.zeros((window, gc.shape[1]), gc.dtype)], axis=0
+    )
+    # d_feats: the transpose map is the per-offset inverse of the forward
+    # map, so scatter-add(d) == windowed gather along the inverse plan with
+    # channel-transposed weights. Gather-only backward.
+    w_t = jnp.swapaxes(w_perm, -1, -2)
+    d_in = _window_gather_matmul(
+        g_pad, inv_starts, inv_idx, w_t, tile, window, compute_dtype
+    )[:n_in]
+    d_feats = jnp.concatenate(
+        [d_in, jnp.zeros((window, cin), d_in.dtype)], axis=0
+    ).astype(feats_pad.dtype)
+    d_w = _window_dw(
+        feats_pad, starts, idx, gc, tile, window, compute_dtype
+    ).astype(w_perm.dtype)
+    return d_feats, None, None, None, None, d_w
+
+
+_window_conv_core.defvjp(_core_fwd, _core_bwd)
+
+
+def window_conv_apply(
+    feats: jax.Array,
+    plan: WindowPlan,
+    inv_plan: WindowPlan,
+    weights: jax.Array,
+    bias: jax.Array | None = None,
+    compute_dtype=jnp.float32,
+    guard: bool = True,
+) -> jax.Array:
+    """Sparse conv via windowed one-hot gathers (drop-in for
+    ``sparse_conv_apply`` where both coordinate sets are key-sorted).
+
+    ``plan``/``inv_plan`` come from ``build_plan`` over the forward and
+    transpose kernel maps (CoordinateContext caches both). ``weights``
+    [K, Cin, Cout] in kernel-offset order. Returns [N_out, Cout] f32.
+    """
+    assert plan.tile == inv_plan.tile and plan.window == inv_plan.window
+    # the backward pairs w[k] with inv rows by position: both plans must
+    # have been built with the same offsets array (same group permutation)
+    assert plan.perm == inv_plan.perm, (plan.perm, inv_plan.perm)
+    n_in, cin = feats.shape
+    g_count, m, _ = plan.idx.shape
+    feats_pad = jnp.concatenate(
+        [feats, jnp.zeros((plan.window, cin), feats.dtype)], axis=0
+    ).astype(compute_dtype)
+    w = weights.astype(compute_dtype)[jnp.asarray(plan.perm)].reshape(
+        g_count, m, cin, weights.shape[-1]
+    )
+    # the inverse plan's groups order offsets by the NEGATED offsets'
+    # (dx, dy); pair weights by the inverse plan's own permutation
+    out = _window_conv_core(
+        feats_pad, plan.starts, plan.idx, inv_plan.starts, inv_plan.idx,
+        plan.tile, plan.window, compute_dtype, w,
+    )
+    if guard:
+        # fail loud on window escapes (cf. block-cap overflow poison):
+        # a silent drop would train on truncated neighborhoods
+        bad = (plan.n_escaped > 0) | (inv_plan.n_escaped > 0)
+        out = out * jnp.where(bad, jnp.float32(jnp.nan), jnp.float32(1.0))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out

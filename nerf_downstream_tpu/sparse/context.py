@@ -41,14 +41,20 @@ class CoordinateContext:
         block_cap_divisor: float = 3,
         block_caps: tuple | None = None,
         overflow_guard: bool = True,
+        window_tile: int = 256,
+        window_size: int = 512,
     ):
         # grid_extent is configured per dataset (coordinate span in finest
         # voxel units, e.g. ``CoordinateContext.grid_extent = 320`` for
         # PeRFception-ScanNet); None selects the unbounded search builder.
-        # method "block" routes k3/s1 convs through the block-dense path
-        # (ops/block_conv.py, densify per conv); "block_resident" keeps each
-        # stride level in the dense block layout end-to-end
-        # (ops/block_resident.py). Block capacity per level: block_caps[i]
+        # method "auto" (the default) resolves to the FASTEST proven path:
+        # block-resident levels whenever a grid_extent is configured
+        # (individual convs that are block-ineligible — dilation>1, offset
+        # subsets — fall back to the row path per-op). "row" forces the
+        # row/gather path; "block" routes k3/s1 convs through the per-op
+        # block-dense path (ops/block_conv.py, densify per conv);
+        # "block_resident" keeps each stride level in the dense block layout
+        # end-to-end (ops/block_resident.py). Capacity per level: block_caps[i]
         # (i = log2 of the level's relative stride, from dataset statistics)
         # when given, else capacity // (block_cap_divisor * stride^2) —
         # surface shells thin ~quadratically under coarsening. With
@@ -61,6 +67,11 @@ class CoordinateContext:
         self.block_cap_divisor = block_cap_divisor
         self.block_caps = block_caps
         self.overflow_guard = overflow_guard
+        # windowed-gather conv knobs (ops/window_conv.py): per-dataset like
+        # grid_extent; escapes NaN-poison (raise window_size if they occur)
+        self.window_tile = window_tile
+        self.window_size = window_size
+        self._window_plans: dict = {}
         self._kmaps: dict = {}
         self._strided: dict = {}
         self._grids: dict = {}
@@ -72,8 +83,31 @@ class CoordinateContext:
     def use_block_conv(self) -> bool:
         return self.method == "block" and self.grid_extent is not None
 
+    def use_window(self) -> bool:
+        """Windowed-gather convs (ops/window_conv.py) — route every conv /
+        conv-transpose through monotone-map window gathers."""
+        return self.method == "window"
+
+    def window_plan(self, kernel_map, n_in: int, offsets):
+        key = (id(kernel_map),)
+        if key not in self._window_plans:
+            from nerf_downstream_tpu.ops.window_conv import build_plan
+
+            self._window_plans[key] = build_plan(
+                kernel_map, n_in, offsets,
+                tile=self.window_tile, window=self.window_size,
+            )
+        return self._window_plans[key]
+
     def use_block_resident(self) -> bool:
-        return self.method == "block_resident" and self.grid_extent is not None
+        # "auto" == block_resident when a grid extent is known: it is the
+        # measured-fastest path (ROADMAP r2: 102k -> 190k voxels/s) and the
+        # overflow guard fail-louds a misconfigured cap, so making it the
+        # default matches ME, whose fastest conv path needs no opt-in.
+        return (
+            self.method in ("auto", "block_resident")
+            and self.grid_extent is not None
+        )
 
     def block_layout(self, coords, mask, stride: int):
         key = (id(coords), stride)

@@ -1,0 +1,216 @@
+"""Windowed one-hot gather conv vs the row gather conv (exact parity)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_downstream_tpu import config as cfg
+from nerf_downstream_tpu.ops.sparse_conv import sparse_conv_apply
+from nerf_downstream_tpu.ops.window_conv import (
+    build_plan,
+    group_offsets,
+    window_conv_apply,
+)
+from nerf_downstream_tpu.sparse import kernel_offsets
+from nerf_downstream_tpu.sparse.context import CoordinateContext
+from nerf_downstream_tpu.sparse.types import PointField, SparseVoxels
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    cfg.clear_config()
+    yield
+    cfg.clear_config()
+
+
+def make_sorted_sv(rng, n=1024, valid=900, c=12, extent=24, batches=2):
+    """Random surface-ish coords in sorted key order (via field_to_sparse)."""
+    from nerf_downstream_tpu.sparse.kernels import field_to_sparse
+
+    pts = rng.integers(0, extent, (valid, 3)).astype(np.float32)
+    coords = np.zeros((n, 4), np.float32)
+    coords[:valid, 1:] = pts
+    coords[:valid, 0] = rng.integers(0, batches, valid)
+    feats = rng.normal(size=(n, c)).astype(np.float32)
+    mask = np.arange(n) < valid
+    field = PointField(
+        coords=jnp.asarray(coords), feats=jnp.asarray(feats),
+        mask=jnp.asarray(mask),
+    )
+    sv, _ = field_to_sparse(field, voxel_size=1.0)
+    return sv
+
+
+def _maps(sv, out_sv, offs, ctx):
+    km = ctx.kernel_map(
+        sv.coords, sv.mask, out_sv.coords, out_sv.mask, offs,
+        in_stride=sv.stride,
+    )
+    inv = ctx.kernel_map(
+        out_sv.coords, out_sv.mask, sv.coords, sv.mask, offs,
+        transpose=True, in_stride=out_sv.stride,
+    )
+    return km, inv
+
+
+def test_group_offsets_k3():
+    offs = kernel_offsets(3, 1)
+    groups = group_offsets(offs)
+    assert len(groups) == 9 and all(len(g) == 3 for g in groups)
+    # members of one group differ only in dz
+    for g in groups:
+        xy = {tuple(offs[i][:2]) for i in g}
+        assert len(xy) == 1
+        assert sorted(offs[i][2] for i in g) == [-1, 0, 1]
+
+
+def test_window_conv_matches_row_conv(rng):
+    sv = make_sorted_sv(rng)
+    offs = kernel_offsets(3, 1)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    km, inv = _maps(sv, sv, offs, ctx)
+    w = rng.normal(size=(27, 12, 16)).astype(np.float32) * 0.1
+    b = rng.normal(size=(16,)).astype(np.float32)
+
+    ref = sparse_conv_apply(sv.feats, km, jnp.asarray(w), jnp.asarray(b))
+    plan = build_plan(km, sv.capacity, offs, tile=128, window=512)
+    inv_plan = build_plan(inv, sv.capacity, offs, tile=128, window=512)
+    assert int(plan.n_escaped) == 0, int(plan.n_escaped)
+    got = window_conv_apply(
+        sv.feats, plan, inv_plan, jnp.asarray(w), jnp.asarray(b)
+    )
+    m = np.asarray(sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[m], np.asarray(ref)[m], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_window_conv_grads_match_row_conv(rng):
+    sv = make_sorted_sv(rng, n=512, valid=420, c=8, extent=16)
+    offs = kernel_offsets(3, 1)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    km, inv = _maps(sv, sv, offs, ctx)
+    w = jnp.asarray(rng.normal(size=(27, 8, 8)).astype(np.float32) * 0.1)
+    plan = build_plan(km, sv.capacity, offs, tile=128, window=512)
+    inv_plan = build_plan(inv, sv.capacity, offs, tile=128, window=512)
+    mask = sv.mask
+
+    def loss_win(feats, w):
+        out = window_conv_apply(feats, plan, inv_plan, w)
+        return jnp.sum(jnp.where(mask[:, None], out, 0) ** 2)
+
+    def loss_row(feats, w):
+        out = sparse_conv_apply(feats, km, w, inv_map=inv)
+        return jnp.sum(jnp.where(mask[:, None], out, 0) ** 2)
+
+    gw_f, gw_w = jax.grad(loss_win, argnums=(0, 1))(sv.feats, w)
+    gr_f, gr_w = jax.grad(loss_row, argnums=(0, 1))(sv.feats, w)
+    np.testing.assert_allclose(
+        np.asarray(gw_f)[np.asarray(mask)],
+        np.asarray(gr_f)[np.asarray(mask)], rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_w), np.asarray(gr_w), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_window_conv_strided_and_transpose(rng):
+    """k2/s2 down map and its k2 transpose both ride monotone windows."""
+    from nerf_downstream_tpu.sparse.kernels import stride_coords
+
+    sv = make_sorted_sv(rng, n=512, valid=400, c=8, extent=16)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    out_sv = stride_coords(sv, 2)
+    offs = kernel_offsets(2, 1)
+    km, inv = _maps(sv, out_sv, offs, ctx)
+    w = jnp.asarray(rng.normal(size=(8, 8, 6)).astype(np.float32) * 0.2)
+    ref = sparse_conv_apply(sv.feats, km, w)
+    plan = build_plan(km, sv.capacity, offs, tile=128, window=512)
+    inv_plan = build_plan(inv, sv.capacity, offs, tile=128, window=512)
+    assert int(plan.n_escaped) == 0
+    got = window_conv_apply(sv.feats, plan, inv_plan, w)
+    m = np.asarray(out_sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[m], np.asarray(ref)[m], rtol=1e-5, atol=1e-5
+    )
+
+    # transpose: coarse -> fine onto the cached finer set
+    coarse = SparseVoxels(
+        coords=out_sv.coords,
+        feats=jnp.asarray(rng.normal(size=(512, 6)).astype(np.float32)),
+        mask=out_sv.mask, stride=out_sv.stride,
+    )
+    offs_t = kernel_offsets(2, 1)
+    km_t = ctx.kernel_map(
+        coarse.coords, coarse.mask, sv.coords, sv.mask, offs_t,
+        transpose=True, in_stride=coarse.stride,
+    )
+    inv_t = ctx.kernel_map(
+        sv.coords, sv.mask, coarse.coords, coarse.mask, offs_t,
+        transpose=False, in_stride=sv.stride,
+    )
+    w_t = jnp.asarray(rng.normal(size=(8, 6, 5)).astype(np.float32) * 0.2)
+    ref_t = sparse_conv_apply(coarse.feats, km_t, w_t)
+    plan_t = build_plan(km_t, coarse.capacity, offs_t, tile=128, window=512)
+    invp_t = build_plan(inv_t, sv.capacity, offs_t, tile=128, window=512)
+    got_t = window_conv_apply(coarse.feats, plan_t, invp_t, w_t)
+    m = np.asarray(sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(got_t)[m], np.asarray(ref_t)[m], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_escape_poisons(rng):
+    """A window too small for the data must NaN-poison, never truncate."""
+    sv = make_sorted_sv(rng, n=512, valid=480, c=4, extent=12)
+    offs = kernel_offsets(3, 1)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    km, inv = _maps(sv, sv, offs, ctx)
+    w = jnp.asarray(rng.normal(size=(27, 4, 4)).astype(np.float32))
+    plan = build_plan(km, sv.capacity, offs, tile=128, window=16)
+    inv_plan = build_plan(inv, sv.capacity, offs, tile=128, window=16)
+    assert int(plan.n_escaped) > 0
+    out = window_conv_apply(sv.feats, plan, inv_plan, w)
+    assert np.isnan(np.asarray(out)).any()
+
+
+def test_model_forward_window_matches_row(rng):
+    """Full Res16UNet forward: method='window' == row path."""
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.sparse.types import PointField
+
+    n, valid = 2048, 1800
+    pts = rng.integers(0, 48, (valid, 3)).astype(np.float32)
+    coords = np.zeros((n, 4), np.float32)
+    coords[:valid, 1:] = pts
+    coords[:valid, 0] = rng.integers(0, 2, valid)
+    feats = rng.normal(size=(n, 6)).astype(np.float32)
+    mask = np.arange(n) < valid
+    batch = {
+        "coordinates": coords, "features": feats, "mask": mask,
+        "labels": rng.integers(0, 5, n).astype(np.int32),
+    }
+
+    outs = {}
+    for method in ("row", "window"):
+        cfg.clear_config()
+        cfg.parse_config(
+            "CoordinateContext.grid_extent = 64\n"
+            f'CoordinateContext.method = "{method}"\n'
+            "CoordinateContext.window_tile = 128\n"
+            "CoordinateContext.window_size = 1024\n"
+        )
+        model = get_model(
+            name="Res16UNet14", out_channel=5, num_batches=2,
+            planes=(8,) * 8,
+        )
+        from nerf_downstream_tpu.models.interface import process_input
+
+        field = process_input(batch)
+        variables = model.init(jax.random.PRNGKey(0), field, train=False)
+        out = model.apply(variables, field, train=False)
+        outs[method] = np.asarray(out)
+    np.testing.assert_allclose(
+        outs["window"][mask], outs["row"][mask], rtol=2e-4, atol=2e-4
+    )
