@@ -1,12 +1,18 @@
 """Benchmark: MinkowskiNet (Res16UNet18A) fwd+bwd voxel throughput per chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extra"}.
+``extra`` carries every secondary BASELINE.md row so the driver-captured
+BENCH_r*.json holds all perf claims (nothing hand-transcribed):
+2D ResNet-18 / ViT-S images/s, dense vs --sparsify (ZAXIS) eval latency,
+and the input pipeline's host-side batch time (decode + transform stack)
+next to the device step time. Set NDT_BENCH_EXTRA=0 to run only the
+headline metric.
 
 Workload: PeRFception-ScanNet-like synthetic batch — 8 surface-shell
 scenes x ~7.8k occupied voxels (SH-27 features), 20 classes, 64k-row
-capacity — through a
-full Res16UNet18A training step (conv kernel-map build + gather-GEMM
-sparse convs + sync-capable masked BN + CE + backward + SGD update).
+capacity — through a full Res16UNet18A training step (conv kernel-map
+build + block-resident sparse convs + sync-capable masked BN + CE +
+backward + SGD update).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 denominator is an estimated A100 MinkowskiEngine MinkUNet18 train throughput
@@ -35,6 +41,13 @@ NUM_CLASSES = 20
 WARMUP = 3
 ITERS = 10
 
+BLOCK_BINDINGS = (
+    "CoordinateContext.grid_extent = 128\n"
+    'CoordinateContext.method = "block_resident"\n'
+    "CoordinateContext.block_caps = (18432, 3904, 896, 224, 40)\n"
+    "field_to_sparse.assume_unique = True\n"
+)
+
 
 def make_batch(rng):
     from nerf_downstream_tpu.data.plenoxel import make_synthetic_scene
@@ -58,48 +71,41 @@ def make_batch(rng):
     return collate_mink(samples, capacity=CAPACITY)
 
 
-def main():
-    import jax
+def _make_task(jnp, sparse=None):
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.train.modules import SegmentationTraining
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    kwargs = {"sparse": sparse} if sparse else {}
+    model = get_model(
+        name="Res16UNet18A", out_channel=NUM_CLASSES, num_batches=SCENES,
+        compute_dtype=jnp.bfloat16, **kwargs,
+    )
+    return SegmentationTraining(
+        model, optimizer_name="SGD", scheduler_name="none", lr=0.1,
+        ignore_label=-100,
+    )
+
+
+def bench_3d_train():
+    """Headline: Res16UNet18A train step voxels/s on the block-resident
+    path. Per-level block caps are this workload's measured occupied-block
+    counts (17.9k/3.8k/0.85k/0.21k/0.03k at strides 1..16) with ~10% slack;
+    the overflow guard NaN-poisons on cap overflow, so a throughput number
+    from a silently-truncated run is impossible."""
+    import jax
     import jax.numpy as jnp
 
     from nerf_downstream_tpu import config as cfg
-
-    # dense-grid kernel-map builder: scene coords span 128 voxels.
-    # Block-resident mode keeps each stride level in the dense block layout
-    # end-to-end (ops/block_resident.py): k3/s1 convs run halo+lax.conv on
-    # resident cells, k2/s2 transitions are in-block einsums + one re-block
-    # scatter — no per-conv densify/undensify. Per-level block caps come
-    # from this workload's measured occupied-block counts
-    # (17.9k/3.8k/0.85k/0.21k/0.03k at strides 1..16) with ~10% slack —
-    # per-dataset statistics, like grid_extent. The overflow guard
-    # NaN-poisons a level if a cap is ever exceeded (fail loud), so a
-    # throughput number from a silently-truncated run is impossible.
-    cfg.parse_config(
-        "CoordinateContext.grid_extent = 128\n"
-        'CoordinateContext.method = "block_resident"\n'
-        "CoordinateContext.block_caps = (18432, 3904, 896, 224, 40)\n"
-        "field_to_sparse.assume_unique = True\n"
-    )
-
-    from nerf_downstream_tpu.models import get_model
     from nerf_downstream_tpu.train.loop import array_batch
-    from nerf_downstream_tpu.train.modules import SegmentationTraining
+
+    cfg.clear_config()
+    cfg.parse_config(BLOCK_BINDINGS)
 
     rng = np.random.default_rng(0)
     batch = array_batch(make_batch(rng))
     n_valid = int(batch["mask"].sum())
 
-    model = get_model(
-        name="Res16UNet18A", out_channel=NUM_CLASSES, num_batches=SCENES,
-        compute_dtype=jnp.bfloat16,
-    )
-    task = SegmentationTraining(
-        model, optimizer_name="SGD", scheduler_name="none", lr=0.1,
-        ignore_label=-100,
-    )
+    task = _make_task(jnp)
     state = task.create_state(jax.random.PRNGKey(0), batch)
     step = task.make_train_step(donate=True)
 
@@ -119,8 +125,167 @@ def main():
     assert np.isfinite(loss), (
         f"non-finite loss {loss}: block caps overflowed — throughput invalid"
     )
+    return n_valid / dt, dt
 
-    vps = n_valid / dt
+
+def bench_eval_latency():
+    """Dense vs ZAXIS-sparsified eval latency (the reference's weight-sparse
+    inference, sparse_conv.py:30-54,562-677)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.train.loop import array_batch
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for name, sparse in [("dense", None), ("zaxis", [2] * 9)]:
+        cfg.clear_config()
+        cfg.parse_config(BLOCK_BINDINGS.replace(
+            "(18432, 3904, 896, 224, 40)", "(19712, 4224, 960, 256, 64)"
+        ))
+        batch = array_batch(make_batch(rng))
+        task = _make_task(jnp, sparse=sparse)
+        state = task.create_state(jax.random.PRNGKey(0), batch)
+        estep = task.make_eval_step()
+        feats = batch["features"]
+        for i in range(2):
+            o = estep(state, dict(batch, features=feats + i * 1e-6))
+        jax.block_until_ready(o[0])
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            o = estep(state, dict(batch, features=feats + i * 1e-5))
+        jax.block_until_ready(o[0])
+        out[f"eval_{name}_ms"] = round(
+            (time.perf_counter() - t0) / ITERS * 1e3, 2
+        )
+    cfg.clear_config()
+    return out
+
+
+def bench_2d(arch: str, batch: int = 128):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.train.modules2d import LitModel
+
+    s = 224
+    rng = np.random.default_rng(0)
+    # device-resident batch: numpy would re-ship ~77MB over the relay
+    # every step and dominate the measurement
+    data = {
+        "images": jnp.asarray(
+            rng.normal(size=(batch, s, s, 3)).astype(np.float32)
+        ),
+        "labels": jnp.asarray(rng.integers(0, 51, batch)),
+    }
+    cfg.clear_config()
+    cfg.bind("ResNetBased", "dtype", jnp.bfloat16)  # precision=16 path
+    cfg.bind("ViTBased", "dtype", jnp.bfloat16)
+    lit = LitModel(model_name=arch, num_training_steps=1000)
+    cfg.clear_config()
+    state = lit.create_state(jax.random.PRNGKey(0), data)
+    step = lit.make_train_step()
+    for _ in range(3):
+        state, mets = step(state, data)
+    jax.block_until_ready(state.params)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, mets = step(state, data)
+    jax.block_until_ready(state.params)
+    return batch / ((time.perf_counter() - t0) / iters)
+
+
+def bench_input_pipeline(tmpdir: str):
+    """Host-side batch time: real npz decode + the flagship transform stack
+    through DataModule's thread prefetcher, at bench scale. Proves (or
+    refutes) data_time < device step time overlap — the reference logs
+    exactly this pair in production (segmentation_training.py:92-93)."""
+    import pickle
+
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.data import plenoxel
+    from nerf_downstream_tpu.data.data_module import DataModule
+    from nerf_downstream_tpu.data.scannet import PlenoxelScannetDataset
+
+    rng = np.random.default_rng(0)
+    root = _os.path.join(tmpdir, "perfception-scannet")
+    split = _os.path.join(tmpdir, "split")
+    _os.makedirs(split, exist_ok=True)
+    names = []
+    for i in range(SCENES):
+        inst = f"scene{i:04d}_00"
+        sc = plenoxel.make_synthetic_scene(
+            rng, n_voxels=VOXELS_PER_SCENE, reso=(128, 128, 128),
+            with_labels=True, num_classes=41, surface=True,
+        )
+        plenoxel.save_npz(
+            _os.path.join(root, f"plenoxel_torch_{inst}", "data.npz"),
+            sc["coords"], sc["density"], sc["sh"], sc["reso"],
+            labels=sc["labels"], dists=sc["dists"],
+        )
+        names.append(inst)
+    open(_os.path.join(split, "scannet_256_train.txt"), "w").write(
+        "\n".join(names)
+    )
+    with open(_os.path.join(split, "scene_scales.data"), "wb") as f:
+        pickle.dump({n: 1.0 for n in names}, f)
+
+    cfg.clear_config()
+    cfg.parse_config(
+        f'PlenoxelScannetDataset.data_root = "{root}"\n'
+        "PlenoxelScannetDataset.downsample_stride = 1\n"
+        "PlenoxelScannetDataset.train_transformations = ["
+        '"RandomRotation", "RandomCrop", "RandomAffine", '
+        '"CoordinateDropout", "RandomFeatureJitter", '
+        '"RandomHorizontalFlip", "RandomTranslation", '
+        '"ElasticDistortion"]\n'
+        'PlenoxelScannetDataset.features = ["sh"]\n'
+        "RandomCrop.x = 200\nRandomCrop.y = 200\nRandomCrop.z = 200\n"
+        "ElasticDistortion.distortion_params = [(4, 16)]\n"
+        "CoordinateContext.grid_extent = 320\n"
+    )
+    dm = DataModule(
+        batch_size=SCENES, train_num_workers=8, capacity=CAPACITY,
+        dataset_cls=PlenoxelScannetDataset,
+    )
+    it = dm.train_batches()
+    next(it)  # warm (thread pool spin-up, file cache)
+    t0 = time.perf_counter()
+    n = 6
+    for _ in range(n):
+        next(it)
+    cfg.clear_config()
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import tempfile
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    vps, step_dt = bench_3d_train()
+    extra = {}
+    if _os.environ.get("NDT_BENCH_EXTRA", "1") == "1":
+        extra["step_ms"] = round(step_dt * 1e3, 1)
+        with tempfile.TemporaryDirectory() as td:
+            extra["data_time_ms"] = round(
+                bench_input_pipeline(td) * 1e3, 1
+            )
+        extra["data_over_step"] = round(
+            extra["data_time_ms"] / extra["step_ms"], 2
+        )
+        extra.update(bench_eval_latency())
+        extra["resnet18_2d_img_per_sec"] = round(bench_2d("resnet18"), 1)
+        extra["vit_small_2d_img_per_sec"] = round(
+            bench_2d("vit_small_patch16_224", batch=64), 1
+        )
+
     print(
         json.dumps(
             {
@@ -128,6 +293,7 @@ def main():
                 "value": round(vps, 1),
                 "unit": "voxels/s",
                 "vs_baseline": round(vps / A100_ME_BASELINE_VOXELS_PER_SEC, 3),
+                "extra": extra,
             }
         )
     )

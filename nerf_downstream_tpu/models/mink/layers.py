@@ -213,7 +213,16 @@ class SparseConv(nn.Module):
             if self.use_bias
             else None
         )
-        if ctx.use_window() and _window_groups_ok(offs):
+        # windowed gathers apply to stride-PRESERVING convs only: a strided
+        # conv's map advances ~stride^3 input ranks per output row, which
+        # forces degenerate tile sizes (measured: tile-32 Pallas grids of
+        # 8k steps cost more than the row gather they replace); strided
+        # convs run at coarse levels where the row path is already cheap.
+        if (
+            ctx.use_window()
+            and out_sv.stride == sv.stride
+            and _window_groups_ok(offs)
+        ):
             plan = ctx.window_plan(km, sv.capacity, offs)
             inv_plan = ctx.window_plan(inv, out_sv.capacity, offs)
             out_f = window_conv_apply(
@@ -330,18 +339,14 @@ class SparseConvTranspose(nn.Module):
             if self.use_bias
             else None
         )
-        if ctx.use_window() and _window_groups_ok(offs):
-            plan = ctx.window_plan(km, sv.capacity, offs)
-            inv_plan = ctx.window_plan(inv, target.capacity, offs)
-            out_f = window_conv_apply(
-                sv.feats, plan, inv_plan, w, b,
-                compute_dtype=self.compute_dtype, guard=ctx.overflow_guard,
-            ).astype(self.compute_dtype)
-        else:
-            out_f = sparse_conv_apply(
-                sv.feats, km, w, b, compute_dtype=self.compute_dtype,
-                inv_map=inv,
-            ).astype(self.compute_dtype)
+        # transpose convs stay on the row path under method='window': the
+        # fine->coarse forward map contracts, but its inverse (the backward
+        # gather) expands ~up_stride^3 ranks per row — same degenerate-tile
+        # problem as strided convs, at levels the row path handles cheaply.
+        out_f = sparse_conv_apply(
+            sv.feats, km, w, b, compute_dtype=self.compute_dtype,
+            inv_map=inv,
+        ).astype(self.compute_dtype)
         return SparseVoxels(
             coords=target.coords,
             feats=out_f,

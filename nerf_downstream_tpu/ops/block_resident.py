@@ -292,33 +292,38 @@ def down_sample_conv1(bv: BlockVoxels, w1: jax.Array,
 def pool2_cells(bv: BlockVoxels, mode: str, coarse_layout: BlockLayout,
                 trans: LevelTransition) -> jax.Array:
     """k=2/s=2 window pooling in-block (sum / avg over present cells / max),
-    matching ``ops.pool.window_pool`` semantics on the kernel map."""
+    matching ``ops.pool.window_pool`` semantics on the kernel map.
+
+    Implemented as 8 strided slices combined elementwise (NOT
+    ``lax.reduce_window`` with a custom computation, which has no
+    reverse-mode autodiff rule, and NOT an 8-D window reshape, which forces
+    XLA relayout copies — round-2 trace lesson)."""
     c = bv.num_channels
     bbf = bv.layout.n_blocks
     blocks = _blocks_of(bv)
     m = bv.mask[:bbf][..., None]
-    win_dims = (1, 2, 2, 2, 1)
 
-    def reduce(x, init, op):
-        return jax.lax.reduce_window(
-            x, init, op, win_dims, win_dims, "VALID"
-        )
+    def corners(x):
+        return [
+            x[:, i::2, j::2, k::2]
+            for i in (0, 1) for j in (0, 1) for k in (0, 1)
+        ]
 
     if mode == "max":
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, bv.feats.dtype)
-        vals = jnp.where(m, blocks, neg)
-        red = reduce(vals, neg, jax.lax.max)
+        parts = corners(jnp.where(m, blocks, neg))
+        red = parts[0]
+        for p in parts[1:]:
+            red = jnp.maximum(red, p)
         red = jnp.where(red == neg, 0, red)
     else:
-        red = reduce(
-            jnp.where(m, blocks, 0).astype(jnp.float32),
-            jnp.float32(0), jax.lax.add,
-        )
+        parts = corners(jnp.where(m, blocks, 0).astype(jnp.float32))
+        red = sum(parts[1:], parts[0])
         if mode == "avg":
-            cnt = reduce(
-                jnp.broadcast_to(m, blocks.shape).astype(jnp.float32),
-                jnp.float32(0), jax.lax.add,
+            mparts = corners(
+                jnp.broadcast_to(m, blocks.shape).astype(jnp.float32)
             )
+            cnt = sum(mparts[1:], mparts[0])
             red = red / jnp.maximum(cnt, 1.0)
         elif mode != "sum":
             raise ValueError(f"unknown pool mode {mode!r}")

@@ -1,0 +1,185 @@
+"""Pallas TPU kernels for the windowed gather-matmul sparse conv.
+
+The XLA formulation (ops/window_conv.py) materializes each offset's
+one-hot dispatch matrix in HBM — 27 * N * 2W bytes per conv, the dominant
+cost. Here the one-hot never exists outside VMEM: the grid streams
+(output-tile, offset-group) steps; per step the pipeline DMAs
+
+  - the tile's two aligned W-row feature blocks (window), driven by the
+    scalar-prefetched ``starts`` table through BlockSpec index maps —
+    no per-tile descriptor issue on the scalar core (the round-2
+    dead end that killed per-block DMA gathers, 7.7 us/descriptor);
+  - the [M, T] in-window index block and the group's [M, C, Cout] weights;
+
+and the kernel generates onehot(idx) in registers, runs the gather as a
+[T, 2W] x [2W, C] MXU matmul, and accumulates [T, C] x [C, Cout] into the
+revisited f32 output block (offset groups are the innermost, consecutive
+grid dimension).
+
+Traffic per conv: windows 2*N*C bytes per group (vs 27*N*2W one-hot bytes)
+— the arithmetic moves from HBM to the MXU where it is ~free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(m, compute_dtype,
+                starts_ref, idx_ref, w_ref, win0_ref, win1_ref, out_ref):
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    win = jnp.concatenate([win0_ref[:], win1_ref[:]], axis=0)  # [2W, C]
+    w2 = win.shape[0]
+    tile = idx_ref.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, w2), 1)
+    acc = out_ref[:]
+    for j in range(m):
+        idx_j = idx_ref[0, 0, j, :].reshape(tile, 1)
+        oh = (idx_j == iota).astype(compute_dtype)
+        # Mosaic matmuls accumulate in f32 (bf16 acc is rejected); values
+        # are exact row selects either way
+        gathered = jnp.dot(
+            oh, win, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)  # [T, C]
+        acc = acc + jnp.dot(
+            gathered, w_ref[0, j], preferred_element_type=jnp.float32
+        )
+    out_ref[:] = acc
+
+
+def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm, tile,
+                                window, compute_dtype):
+    """sum_{g,m} onehot(idx[g,m]) @ window_g @ w[g,m] -> [N_out, Cout] f32.
+
+    feats_pad [n_in + 2W, C] (compute dtype); starts int32[G, nT];
+    idx int32[G, M, N_out]; w_perm [G, M, C, Cout] (compute dtype).
+    """
+    g_count, m, n_out = idx.shape
+    nt = n_out // tile
+    c = feats_pad.shape[1]
+    cout = w_perm.shape[-1]
+    idx_p = idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt, g_count),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, m, tile),
+                lambda t, g, st: (g, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, m, c, cout),
+                lambda t, g, st: (g, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window, c),
+                lambda t, g, st: (st[g, t] // window, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window, c),
+                lambda t, g, st: (st[g, t] // window + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, cout), lambda t, g, st: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    flops = 2 * g_count * m * (n_out * 2 * window * c + n_out * c * cout)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, m, compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * n_out * c * g_count + n_out * cout * 4,
+            transcendentals=0,
+        ),
+    )(starts, idx_p, w_perm, feats_pad, feats_pad)
+
+
+def _dw_kernel(m, compute_dtype,
+               starts_ref, idx_ref, gout_ref, win0_ref, win1_ref, dw_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    win = jnp.concatenate([win0_ref[:], win1_ref[:]], axis=0)
+    w2 = win.shape[0]
+    tile = idx_ref.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, w2), 1)
+    gout = gout_ref[:]  # [T, Cout]
+    for j in range(m):
+        idx_j = idx_ref[0, 0, j, :].reshape(tile, 1)
+        oh = (idx_j == iota).astype(compute_dtype)
+        gathered = jnp.dot(
+            oh, win, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)  # [T, C]
+        # [C, Cout] = gathered^T @ gout
+        dw_ref[0, j] = dw_ref[0, j] + jax.lax.dot_general(
+            gathered, gout,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def window_dw_pallas(feats_pad, starts, idx, g_out, tile, window,
+                     compute_dtype):
+    """d_w[g, m] = gathered[g, m]^T @ g_out -> [G, M, C, Cout] f32."""
+    g_count, m, n_out = idx.shape
+    nt = n_out // tile
+    c = feats_pad.shape[1]
+    cout = g_out.shape[-1]
+    idx_p = idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_count, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, m, tile),
+                lambda g, t, st: (g, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile, cout), lambda g, t, st: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window, c),
+                lambda g, t, st: (st[g, t] // window, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window, c),
+                lambda g, t, st: (st[g, t] // window + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m, c, cout), lambda g, t, st: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        functools.partial(_dw_kernel, m, compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g_count, m, c, cout), jnp.float32),
+    )(starts, idx_p, g_out.astype(compute_dtype), feats_pad, feats_pad)

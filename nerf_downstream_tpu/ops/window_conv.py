@@ -85,9 +85,17 @@ def build_plan(
     offsets: np.ndarray,
     tile: int = 256,
     window: int = 512,
+    expansion: int = 1,
 ) -> WindowPlan:
-    """Tile a monotone kernel map into window starts + in-window indices."""
+    """Tile a monotone kernel map into window starts + in-window indices.
+
+    ``expansion``: density ratio of the input level to the output level —
+    a map from a coarser set into a finer one advances ~expansion input
+    ranks per output row (a stride-2 down conv covers up to 8 fine cells
+    per coarse cell), so the tile shrinks to keep spans inside ``window``.
+    """
     k, n_out = kernel_map.shape
+    tile = max(32, tile // max(int(expansion), 1))
     assert n_out % tile == 0, (
         f"capacity {n_out} not divisible by window tile {tile}"
     )
@@ -105,12 +113,18 @@ def build_plan(
     tmin = jnp.min(gmin.reshape(-1, nt, tile), axis=2)  # [G, nT]
     tmin = jnp.where(tmin == big, -1, tmin)
     starts = jnp.maximum(jax.lax.cummax(tmin, axis=1), 0)
-    # clamp so the window never reads past the padded input
-    starts = jnp.minimum(starts, max(n_in - window, 0)).astype(jnp.int32)
+    # quantize starts DOWN to multiples of ``window``: the effective
+    # coverage becomes [qstart, qstart + 2*window) ⊇ the unquantized
+    # [start, start + window), and window fetches become two aligned
+    # ``window``-row blocks — which the Pallas kernel's pipelined BlockSpec
+    # machinery can stream with zero per-tile descriptor overhead.
+    starts = ((starts // window) * window).astype(jnp.int32)
+    # feats are padded by 2*window rows, so [qstart, qstart+2W) stays in
+    # bounds for any qstart <= n_in - 1
     rel = km - jnp.repeat(starts[:, None, :], tile, axis=2).reshape(
         len(groups), 1, n_out
     )
-    in_win = valid & (rel >= 0) & (rel < window)
+    in_win = valid & (rel >= 0) & (rel < 2 * window)
     n_escaped = jnp.sum((valid & ~in_win).astype(jnp.int32))
     idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
     return WindowPlan(
@@ -123,26 +137,50 @@ def build_plan(
     )
 
 
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get("NDT_WINDOW_PALLAS", "1") != "1":
+        return False
+    try:
+        # the axon relay registers the TPU as platform "axon"
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
                           compute_dtype):
     """sum over (g, m) of onehot(idx[g, m]) @ window_g @ w[g, m]; f32 acc.
 
-    feats_pad: [n_in + window, C]; starts [G, nT]; idx [G, M, N];
-    w_perm [G, M, C, Cout]. One lax.scan over groups keeps the compiled
-    program size O(1) in K (round-2 lesson: 18 conv subgraphs cost 170 s
-    of compile).
+    feats_pad: [n_in + 2*window, C]; starts [G, nT]; idx [G, M, N];
+    w_perm [G, M, C, Cout]. On TPU the Pallas kernel generates the one-hot
+    in VMEM (ops/pallas/window_gather.py); the XLA fallback materializes it
+    (CPU tests / NDT_WINDOW_PALLAS=0). One lax.scan over groups keeps the
+    compiled program size O(1) in K (round-2 lesson: 18 conv subgraphs cost
+    170 s of compile).
     """
+    if _use_pallas():
+        from nerf_downstream_tpu.ops.pallas.window_gather import (
+            window_gather_matmul_pallas,
+        )
+
+        return window_gather_matmul_pallas(
+            feats_pad, starts, idx, w_perm.astype(compute_dtype),
+            tile, window, compute_dtype,
+        )
     g_count, nt = starts.shape
     n_out = idx.shape[2]
     c = feats_pad.shape[1]
     cout = w_perm.shape[-1]
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, window), 2)
+    w2 = 2 * window
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, w2), 2)
 
     def per_group(acc, xs):
         starts_g, idx_g, w_g = xs  # [nT], [M, N], [M, C, Cout]
         win = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(feats_pad, (s, 0), (window, c))
-        )(starts_g)  # [nT, W, C]
+            lambda s: jax.lax.dynamic_slice(feats_pad, (s, 0), (w2, c))
+        )(starts_g)  # [nT, 2W, C]
 
         def per_member(acc_in, ys):
             idx_k, w_k = ys
@@ -171,15 +209,24 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
 
 def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype):
     """d_w[g, m] = gathered[g, m]^T @ g_out (forward gathers recomputed)."""
+    if _use_pallas():
+        from nerf_downstream_tpu.ops.pallas.window_gather import (
+            window_dw_pallas,
+        )
+
+        return window_dw_pallas(
+            feats_pad, starts, idx, g_out, tile, window, compute_dtype
+        )
     g_count, nt = starts.shape
     n_out = idx.shape[2]
     c = feats_pad.shape[1]
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, window), 2)
+    w2 = 2 * window
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, w2), 2)
 
     def per_group(_, xs):
         starts_g, idx_g = xs
         win = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(feats_pad, (s, 0), (window, c))
+            lambda s: jax.lax.dynamic_slice(feats_pad, (s, 0), (w2, c))
         )(starts_g)
 
         def per_member(_, idx_k):
@@ -202,39 +249,39 @@ def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype):
     return d_w  # [G, M, C, Cout]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _window_conv_core(feats_pad, starts, idx, inv_starts, inv_idx, tile,
-                      window, compute_dtype, w_perm):
+                      inv_tile, window, compute_dtype, w_perm):
     return _window_gather_matmul(
         feats_pad, starts, idx, w_perm, tile, window, compute_dtype
     )
 
 
-def _core_fwd(feats_pad, starts, idx, inv_starts, inv_idx, tile, window,
-              compute_dtype, w_perm):
+def _core_fwd(feats_pad, starts, idx, inv_starts, inv_idx, tile, inv_tile,
+              window, compute_dtype, w_perm):
     out = _window_gather_matmul(
         feats_pad, starts, idx, w_perm, tile, window, compute_dtype
     )
     return out, (feats_pad, starts, idx, inv_starts, inv_idx, w_perm)
 
 
-def _core_bwd(tile, window, compute_dtype, res, g):
+def _core_bwd(tile, inv_tile, window, compute_dtype, res, g):
     feats_pad, starts, idx, inv_starts, inv_idx, w_perm = res
     n_pad, cin = feats_pad.shape
-    n_in = n_pad - window
+    n_in = n_pad - 2 * window
     gc = g.astype(compute_dtype)
     g_pad = jnp.concatenate(
-        [gc, jnp.zeros((window, gc.shape[1]), gc.dtype)], axis=0
+        [gc, jnp.zeros((2 * window, gc.shape[1]), gc.dtype)], axis=0
     )
     # d_feats: the transpose map is the per-offset inverse of the forward
     # map, so scatter-add(d) == windowed gather along the inverse plan with
     # channel-transposed weights. Gather-only backward.
     w_t = jnp.swapaxes(w_perm, -1, -2)
     d_in = _window_gather_matmul(
-        g_pad, inv_starts, inv_idx, w_t, tile, window, compute_dtype
+        g_pad, inv_starts, inv_idx, w_t, inv_tile, window, compute_dtype
     )[:n_in]
     d_feats = jnp.concatenate(
-        [d_in, jnp.zeros((window, cin), d_in.dtype)], axis=0
+        [d_in, jnp.zeros((2 * window, cin), d_in.dtype)], axis=0
     ).astype(feats_pad.dtype)
     d_w = _window_dw(
         feats_pad, starts, idx, gc, tile, window, compute_dtype
@@ -261,14 +308,14 @@ def window_conv_apply(
     transpose kernel maps (CoordinateContext caches both). ``weights``
     [K, Cin, Cout] in kernel-offset order. Returns [N_out, Cout] f32.
     """
-    assert plan.tile == inv_plan.tile and plan.window == inv_plan.window
+    assert plan.window == inv_plan.window
     # the backward pairs w[k] with inv rows by position: both plans must
     # have been built with the same offsets array (same group permutation)
     assert plan.perm == inv_plan.perm, (plan.perm, inv_plan.perm)
     n_in, cin = feats.shape
     g_count, m, _ = plan.idx.shape
     feats_pad = jnp.concatenate(
-        [feats, jnp.zeros((plan.window, cin), feats.dtype)], axis=0
+        [feats, jnp.zeros((2 * plan.window, cin), feats.dtype)], axis=0
     ).astype(compute_dtype)
     w = weights.astype(compute_dtype)[jnp.asarray(plan.perm)].reshape(
         g_count, m, cin, weights.shape[-1]
@@ -277,7 +324,7 @@ def window_conv_apply(
     # (dx, dy); pair weights by the inverse plan's own permutation
     out = _window_conv_core(
         feats_pad, plan.starts, plan.idx, inv_plan.starts, inv_plan.idx,
-        plan.tile, plan.window, compute_dtype, w,
+        plan.tile, inv_plan.tile, plan.window, compute_dtype, w,
     )
     if guard:
         # fail loud on window escapes (cf. block-cap overflow poison):

@@ -88,7 +88,13 @@ class CoordinateContext:
         conv-transpose through monotone-map window gathers."""
         return self.method == "window"
 
-    def window_plan(self, kernel_map, n_in: int, offsets):
+    def window_plan(self, kernel_map, n_in: int, offsets, expansion: int = 1):
+        """Window plan for a monotone kernel map (cached per map).
+
+        ``expansion``: input-rank advance per output row — (out_stride /
+        in_stride)^3 for maps into a coarser set (a stride-2 down conv
+        consumes up to 8 fine ranks per coarse row), 1 otherwise.
+        """
         key = (id(kernel_map),)
         if key not in self._window_plans:
             from nerf_downstream_tpu.ops.window_conv import build_plan
@@ -96,6 +102,7 @@ class CoordinateContext:
             self._window_plans[key] = build_plan(
                 kernel_map, n_in, offsets,
                 tile=self.window_tile, window=self.window_size,
+                expansion=expansion,
             )
         return self._window_plans[key]
 

@@ -174,6 +174,7 @@ class Trainer:
             train_step = task.make_train_step()
         start_step = int(state.step)
         pending = None  # (step, device metrics) fetched one step late
+        mets = None
         batch = first_batch
 
         max_steps = self.max_steps
@@ -217,21 +218,36 @@ class Trainer:
         if pending is not None:
             self._emit_train_logs(*pending)
         jax.block_until_ready(state.params)
+        # fail loud even when the run is shorter than the log cadence: a
+        # block-cap/window overflow poisons the loss with NaN and must never
+        # produce a checkpoint that looks trained
+        if mets is not None:
+            self._check_finite_loss(
+                {k: float(np.asarray(v)) for k, v in mets.items()}
+            )
         checkpoints.save_checkpoint(self.last_ckpt_path, state)
         if not os.path.exists(self.best_ckpt_path):
             checkpoints.save_checkpoint(self.best_ckpt_path, state)
         return state
 
+    @staticmethod
+    def _check_finite_loss(mets, phase: str = "train"):
+        loss = float(np.asarray(mets.get("loss", 0.0)))
+        if not np.isfinite(loss):
+            raise ValueError(
+                f"Invalid {phase} loss: {loss}. A non-finite loss under a "
+                "block method usually means a block-cap overflow, and under "
+                "method='window' a window escape — both guards NaN-poison "
+                "rather than silently truncate. Fixes: raise "
+                "CoordinateContext.block_caps / lower block_cap_divisor (or "
+                "raise window_size) to this dataset's statistics, or fall "
+                "back to the capless row path with "
+                "CoordinateContext.method='row'."
+            )
+
     def _emit_train_logs(self, step: int, mets):
         host = {k: float(np.asarray(v)) for k, v in mets.items()}
-        if not np.isfinite(host.get("loss", 0.0)):
-            raise ValueError(
-                f"Invalid loss: {host['loss']}. If CoordinateContext.method "
-                "is a block mode, a non-finite loss usually means a block-cap "
-                "overflow (the guard NaN-poisons truncated levels): raise "
-                "CoordinateContext.block_caps / lower block_cap_divisor for "
-                "this dataset's block statistics."
-            )
+        self._check_finite_loss(host)
         out = {f"train/{k}": v for k, v in host.items()}
         out["train/lr"] = self.task.current_lr(step)
         out["train/data_time"] = self.profiler.recorded_time("get_train_batch")
@@ -272,6 +288,7 @@ class Trainer:
             iter_time = time.perf_counter() - t0
             task.validation_batch_end(logits, batch)
             host = {k: float(np.asarray(v)) for k, v in mets.items()}
+            self._check_finite_loss(host, phase=phase)
             host["iter_time"] = iter_time
             results.append(host)
         out = task.validation_epoch_end(results, self.default_root_dir)

@@ -83,7 +83,14 @@ def test_context_grid_mode_model_forward(rng):
     )
     v = model.init(jax.random.PRNGKey(0), field, train=False)
     out_search = model.apply(v, field, train=False)
-    cfg.parse_config("CoordinateContext.grid_extent = 64")
+    # pin the row conv path: this test compares the two kernel-map BUILDERS
+    # (grid vs search); with an extent configured, method "auto" would
+    # otherwise switch the conv path to block_resident (whose tiny default
+    # caps overflow on this scattered toy scene by design)
+    cfg.parse_config(
+        "CoordinateContext.grid_extent = 64\n"
+        'CoordinateContext.method = "row"\n'
+    )
     out_grid = model.apply(v, field, train=False)
     np.testing.assert_allclose(
         np.asarray(out_search), np.asarray(out_grid), rtol=1e-5, atol=1e-5

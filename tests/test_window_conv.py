@@ -175,6 +175,60 @@ def test_escape_poisons(rng):
     assert np.isnan(np.asarray(out)).any()
 
 
+def test_pallas_kernels_match_xla(rng, monkeypatch):
+    """Interpret-mode run of the Pallas window kernels == XLA formulation."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_downstream_tpu.ops import window_conv as wc
+    from nerf_downstream_tpu.ops.pallas.window_gather import (
+        window_dw_pallas,
+        window_gather_matmul_pallas,
+    )
+
+    monkeypatch.setenv("NDT_WINDOW_PALLAS", "0")  # XLA reference path
+    sv = make_sorted_sv(rng, n=512, valid=420, c=8, extent=16)
+    offs = kernel_offsets(3, 1)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    km, _ = _maps(sv, sv, offs, ctx)
+    tile, window = 64, 128
+    plan = build_plan(km, sv.capacity, offs, tile=tile, window=window)
+    assert int(plan.n_escaped) == 0
+    w = jnp.asarray(rng.normal(size=(27, 8, 8)).astype(np.float32) * 0.1)
+    g_count = plan.starts.shape[0]
+    m = plan.idx.shape[1]
+    w_perm = w[jnp.asarray(plan.perm)].reshape(g_count, m, 8, 8)
+    feats_pad = jnp.concatenate(
+        [sv.feats, jnp.zeros((2 * window, 8), sv.feats.dtype)], axis=0
+    )
+
+    ref = wc._window_gather_matmul(
+        feats_pad, plan.starts, plan.idx, w_perm, plan.tile, plan.window,
+        jnp.float32,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = window_gather_matmul_pallas(
+            feats_pad, plan.starts, plan.idx, w_perm, plan.tile,
+            plan.window, jnp.float32,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    g_out = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
+    ref_dw = wc._window_dw(
+        feats_pad, plan.starts, plan.idx, g_out, plan.tile, plan.window,
+        jnp.float32,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_dw = window_dw_pallas(
+            feats_pad, plan.starts, plan.idx, g_out, plan.tile,
+            plan.window, jnp.float32,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_dw), np.asarray(ref_dw), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_model_forward_window_matches_row(rng):
     """Full Res16UNet forward: method='window' == row path."""
     from nerf_downstream_tpu.models import get_model
