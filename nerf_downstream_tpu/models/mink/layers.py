@@ -19,6 +19,7 @@ from typing import Any, Callable
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerf_downstream_tpu.ops import block_resident as br
 from nerf_downstream_tpu.ops.block_resident import BlockVoxels
@@ -110,10 +111,31 @@ class SparseConv(nn.Module):
 
             subset = zaxis_offsets(full_offs)
 
-        blockable = self.dilation == 1 and subset is None and (
-            (self.kernel_size == 3 and self.stride == 1)
-            or (self.kernel_size == 2 and self.stride == 2)
-            or (self.kernel_size == 1 and self.stride == 2)
+        # a z-column offset subset (the ZAXIS sparsified-inference mode and
+        # any pruning that keeps only dx==dy==0 offsets) stays on the block
+        # path: its halo is just the two z-face slices
+        zaxis_subset = None
+        if (
+            subset is not None
+            and self.kernel_size == 3
+            and self.stride == 1
+            and len(subset) == 3
+        ):
+            sub_offs = full_offs[list(subset)]
+            if (sub_offs[:, :2] == 0).all() and (
+                sorted(sub_offs[:, 2].tolist()) == [-1, 0, 1]
+            ):
+                zaxis_subset = tuple(
+                    int(subset[i]) for i in np.argsort(sub_offs[:, 2])
+                )
+        blockable = self.dilation == 1 and (
+            (subset is None or zaxis_subset is not None)
+            and (self.kernel_size == 3 and self.stride == 1)
+            or subset is None
+            and (
+                (self.kernel_size == 2 and self.stride == 2)
+                or (self.kernel_size == 1 and self.stride == 2)
+            )
         )
         if ctx.use_block_resident() and blockable:
             if sv.feats.dtype != self.compute_dtype:
@@ -129,7 +151,12 @@ class SparseConv(nn.Module):
             )
             w = w.astype(self.compute_dtype)
             if self.kernel_size == 3:  # s=1: stay on this level's cells
-                out = sv.replace(feats=br.conv3_cells(sv, w))
+                if zaxis_subset is not None:
+                    out = sv.replace(feats=br.conv3_zaxis_cells(
+                        sv, w[jnp.asarray(zaxis_subset)]
+                    ))
+                else:
+                    out = sv.replace(feats=br.conv3_cells(sv, w))
             else:  # k2/s2 or k1/s2: in-block transition to the coarser level
                 coarse_sv, coarse_layout, coarse_cmask, trans = (
                     ctx.level_transition(sv)

@@ -29,6 +29,8 @@ co3d_3d/src/models/mink/res16unet.py:236-388), window poolings
 
 from __future__ import annotations
 
+import functools
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -185,6 +187,69 @@ def conv3_cells(bv: BlockVoxels, w: jax.Array) -> jax.Array:
     c = bv.num_channels
     cout = w.shape[-1]
     out = block_core5(bv.feats, bv.layout.nbr, w, bb, c, cout)
+    out = jnp.concatenate(
+        [out, jnp.zeros((1, BLOCK, BLOCK, BLOCK, cout), out.dtype)], axis=0
+    )
+    return jnp.where(bv.mask[..., None], out, 0)
+
+
+_ZM_K, _ZP_K = 4, 22  # OFFS indices of (0,0,-1) / (0,0,1)
+
+
+def _zext_impl(blocks_ext, nbr, bb):
+    """z-extended tile [Bb, 4, 4, 6, C]: only the two z-face neighbors
+    contribute (the ZAXIS halo is 2 slice gathers, not 26)."""
+    zm = blocks_ext[:, :, :, 3:4, :][nbr[_ZM_K]]
+    zp = blocks_ext[:, :, :, 0:1, :][nbr[_ZP_K]]
+    return jnp.concatenate([zm, blocks_ext[:bb], zp], axis=3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _zext(blocks_ext, nbr, bb):
+    return _zext_impl(blocks_ext, nbr, bb)
+
+
+def _zext_fwd(blocks_ext, nbr, bb):
+    return _zext_impl(blocks_ext, nbr, bb), nbr
+
+
+def _zext_bwd(bb, nbr, g):
+    """Adjoint as pure gathers (blocks unique, z offsets invert through the
+    opposite offset — same trick as the full halo adjoint)."""
+    g_ext = jnp.concatenate(
+        [g, jnp.zeros((1,) + g.shape[1:], g.dtype)], axis=0
+    )
+    d = jnp.zeros((bb + 1, BLOCK, BLOCK, BLOCK, g.shape[-1]), g.dtype)
+    d = d.at[:bb].set(g[:, :, :, 1:BLOCK + 1, :])
+    inv_zm = jnp.where(nbr[_ZP_K] < bb, nbr[_ZP_K], bb)
+    inv_zp = jnp.where(nbr[_ZM_K] < bb, nbr[_ZM_K], bb)
+    d = d.at[:bb, :, :, BLOCK - 1 : BLOCK, :].add(
+        g_ext[:, :, :, 0:1, :][inv_zm]
+    )
+    d = d.at[:bb, :, :, 0:1, :].add(
+        g_ext[:, :, :, BLOCK + 1 : BLOCK + 2, :][inv_zp]
+    )
+    return d, None
+
+
+_zext.defvjp(_zext_fwd, _zext_bwd)
+
+
+def conv3_zaxis_cells(bv: BlockVoxels, w3: jax.Array) -> jax.Array:
+    """ZAXIS k=[1,1,3]/s=1 conv on resident cells (the reference's
+    weight-sparse inference offset subset, sparse_conv.py:346-379): the
+    halo shrinks to the two z-face slices. ``w3``: [3, Cin, Cout] in dz
+    order (-1, 0, +1). Output re-masked (module invariant)."""
+    bb = bv.layout.n_blocks
+    c = bv.num_channels
+    cout = w3.shape[-1]
+    tile = _zext(bv.feats, bv.layout.nbr, bb)  # [Bb, 4, 4, 6, C]
+    # out[z] = sum_dz w3[dz] in[z + dz]; tile z is shifted by +1
+    filt = w3.reshape(1, 1, 3, c, cout)
+    out = jax.lax.conv_general_dilated(
+        tile, filt, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
     out = jnp.concatenate(
         [out, jnp.zeros((1, BLOCK, BLOCK, BLOCK, cout), out.dtype)], axis=0
     )

@@ -206,8 +206,9 @@ def test_resnet_with_pool_and_strided_blocks_matches_row(rng):
 
 
 def test_zaxis_mixed_representation_matches_row(rng):
-    """sparse_mode=2 (ZAXIS) convs fall back to rows inside a block-resident
-    model — skip concats and residual adds must align representations."""
+    """sparse_mode=2 (ZAXIS) convs now run IN-BLOCK (conv3_zaxis_cells,
+    two z-face halo slices) — the whole sparsified model stays resident and
+    must match the row path exactly."""
     from nerf_downstream_tpu.models import get_model
 
     field, mask = _field(rng, batches=1, n_voxels=900, cap=2048)
@@ -221,6 +222,38 @@ def test_zaxis_mixed_representation_matches_row(rng):
     _set_mode("block_resident", divisor=1)
     out_br = np.asarray(model.apply(v, field, train=False))
     np.testing.assert_allclose(out_br[mask], out_row[mask], rtol=2e-4, atol=2e-5)
+
+
+def test_zaxis_cells_grads_match_row(rng):
+    """conv3_zaxis_cells fwd+grads == the row conv on the ZAXIS subset."""
+    from nerf_downstream_tpu.models import get_model
+
+    field, mask = _field(rng, batches=1, n_voxels=700, cap=1024)
+    model = get_model(
+        name="Res16UNet14", out_channel=5, num_batches=1, planes=(4,) * 8,
+        sparse=[2] * 9,
+    )
+    lab = jnp.asarray(
+        np.random.default_rng(5).integers(0, 5, field.capacity)
+    )
+
+    def loss(v, field):
+        out = model.apply(v, field, train=False)
+        logp = jax.nn.log_softmax(out.astype(jnp.float32), -1)
+        pick = jnp.take_along_axis(logp, lab[:, None], axis=-1)[:, 0]
+        return -jnp.sum(jnp.where(mask, pick, 0.0))
+
+    _set_mode()
+    v = model.init(jax.random.PRNGKey(0), field, train=False)
+    g_row = jax.grad(loss)(v, field)
+    _set_mode("block_resident", divisor=1)
+    g_blk = jax.grad(loss)(v, field)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        ),
+        g_row["params"], g_blk["params"],
+    )
 
 
 def test_bf16_compute_dtype_matches_row(rng):
