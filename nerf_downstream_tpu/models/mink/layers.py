@@ -137,6 +137,50 @@ class SparseConv(nn.Module):
                 or (self.kernel_size == 1 and self.stride == 2)
             )
         )
+
+        # hybrid fast path: stride-1 k3 convs at the FINEST level ride the
+        # windowed gather conv (valid rows ≈ capacity there; measured f+b
+        # 8.3 ms vs 28.3 ms for the block halo conv at 64k rows, C=96)
+        if (
+            ctx.use_window_s1()
+            and self.kernel_size == 3
+            and self.stride == 1
+            and self.dilation == 1
+            and subset is None
+            and sv.stride == 1
+            and _window_groups_ok(full_offs)
+        ):
+            if isinstance(sv, BlockVoxels):
+                sv = br.to_rows(sv)
+            km = ctx.kernel_map(
+                sv.coords, sv.mask, sv.coords, sv.mask, full_offs,
+                in_stride=sv.stride,
+            )
+            inv = ctx.kernel_map(
+                sv.coords, sv.mask, sv.coords, sv.mask, full_offs,
+                transpose=True, in_stride=sv.stride,
+            )
+            plan = ctx.window_plan(km, sv.capacity, full_offs)
+            inv_plan = ctx.window_plan(inv, sv.capacity, full_offs)
+            w = self.param(
+                "kernel",
+                _kaiming_conv_init,
+                (len(full_offs), cin, self.out_channels),
+            )
+            b = (
+                self.param(
+                    "bias", nn.initializers.zeros, (self.out_channels,)
+                )
+                if self.use_bias
+                else None
+            )
+            out_f = window_conv_apply(
+                sv.feats, plan, inv_plan, w, b,
+                compute_dtype=self.compute_dtype, guard=ctx.overflow_guard,
+            ).astype(self.compute_dtype)
+            return SparseVoxels(
+                coords=sv.coords, feats=out_f, mask=sv.mask, stride=sv.stride
+            )
         if ctx.use_block_resident() and blockable:
             if sv.feats.dtype != self.compute_dtype:
                 # cast on rows/cells BEFORE densify so the scatter moves

@@ -107,12 +107,27 @@ class CoordinateContext:
         return self._window_plans[key]
 
     def use_block_resident(self) -> bool:
-        # "auto" == block_resident when a grid extent is known: it is the
-        # measured-fastest path (ROADMAP r2: 102k -> 190k voxels/s) and the
-        # overflow guard fail-louds a misconfigured cap, so making it the
-        # default matches ME, whose fastest conv path needs no opt-in.
+        # "auto" == the hybrid fast path when a grid extent is known
+        # (ME-style: the fastest conv path needs no opt-in): block-resident
+        # levels everywhere, except stride-1 k3 convs which ride the
+        # windowed gather (see use_window_s1). "block_resident" pins the
+        # pure block path. The overflow/escape guards fail loud on
+        # misconfigured caps/window sizes.
         return (
-            self.method in ("auto", "block_resident")
+            self.method in ("auto", "hybrid", "block_resident")
+            and self.grid_extent is not None
+        )
+
+    def use_window_s1(self) -> bool:
+        """Hybrid routing: stride-1 k3 convs use the windowed gather conv.
+
+        At the finest level valid rows ≈ capacity, so the FLOP-proportional
+        window conv wins big (measured f+b 8.3 ms vs 28.3 ms for the
+        block halo conv at 64k rows / C=96); at coarser levels most of the
+        fixed capacity is padding and the block layout (whose size tracks
+        the live block count) stays ahead."""
+        return (
+            self.method in ("auto", "hybrid")
             and self.grid_extent is not None
         )
 

@@ -141,6 +141,72 @@ def test_2d_cli_end_to_end(tmp_path, rng):
     assert os.path.exists(f"{tmp_path}/logs/co3d_perfception_resnet18_scratch_0/last.ckpt")
 
 
+def test_2d_parallel_matches_single_device(rng):
+    """LitModel's shard_map pmean step over 4 devices == single-device step
+    on the same global batch (SyncBatchNorm via bn axis_name)."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from nerf_downstream_tpu.train.modules2d import LitModel
+
+    n = 4
+    batch = {
+        "images": rng.normal(size=(8, 32, 32, 3)).astype(np.float32),
+        "labels": rng.integers(0, 51, 8).astype(np.int32),
+    }
+    # dropout draws differ between per-shard and global shapes; disable it
+    # so the equality can be exact (DDP-correctness is what's under test)
+    cfg.clear_config()
+    cfg.parse_config("ResNetBased.dropout_rate = 0.0\n")
+    single = LitModel(model_name="resnet18", num_training_steps=10)
+    par = LitModel(
+        model_name="resnet18", num_training_steps=10, axis_name="data",
+        use_sync_batchnorm=True,
+    )
+    cfg.clear_config()
+    state_s = single.create_state(jax.random.PRNGKey(0), batch)
+    state_p = par.create_state(jax.random.PRNGKey(0), batch)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b),
+        state_s.params, state_p.params,
+    )
+
+    step_s = single.make_train_step()
+    new_s, mets_s = step_s(state_s, batch)
+
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+    row = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    sbatch = {k: jax.device_put(v, row) for k, v in batch.items()}
+    sstate = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, rep), state_p
+    )
+    step_p = par.make_parallel_train_step(mesh)
+    new_p, mets_p = step_p(sstate, sbatch)
+
+    assert np.isfinite(float(mets_s["loss"]))
+    np.testing.assert_allclose(
+        float(mets_p["loss"]), float(mets_s["loss"]), rtol=1e-5
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        new_s.params, new_p.params,
+    )
+    # BN running stats sync (SyncBatchNorm == global-batch stats)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        new_s.batch_stats, new_p.batch_stats,
+    )
+
+
 def test_all_2d_configs_parse():
     import glob
 

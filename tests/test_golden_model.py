@@ -238,7 +238,9 @@ def _scene(rng):
     return np.concatenate(coords, 0), np.concatenate(feats, 0)
 
 
-@pytest.mark.parametrize("method", ["row", "block_resident", "window"])
+@pytest.mark.parametrize(
+    "method", ["row", "block_resident", "window", "hybrid"]
+)
 def test_res16unet14_matches_torch_dense_reference(rng, tmp_path, method):
     coords, feats = _scene(rng)
     n = len(coords)

@@ -229,6 +229,47 @@ def test_pallas_kernels_match_xla(rng, monkeypatch):
     )
 
 
+def test_model_forward_hybrid_matches_row(rng):
+    """Full Res16UNet forward: method='hybrid' (windowed s1 convs inside a
+    block-resident model, the 'auto' default) == row path."""
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.models.interface import process_input
+
+    n, valid = 2048, 1800
+    pts = rng.integers(0, 24, (valid, 3)).astype(np.float32)
+    coords = np.zeros((n, 4), np.float32)
+    coords[:valid, 1:] = pts
+    coords[:valid, 0] = rng.integers(0, 2, valid)
+    feats = rng.normal(size=(n, 6)).astype(np.float32)
+    mask = np.arange(n) < valid
+    batch = {
+        "coordinates": coords, "features": feats, "mask": mask,
+        "labels": rng.integers(0, 5, n).astype(np.int32),
+    }
+
+    outs = {}
+    for method in ("row", "hybrid"):
+        cfg.clear_config()
+        cfg.parse_config(
+            "CoordinateContext.grid_extent = 64\n"
+            f'CoordinateContext.method = "{method}"\n'
+            "CoordinateContext.block_cap_divisor = 1\n"
+            "CoordinateContext.window_tile = 128\n"
+            "CoordinateContext.window_size = 1024\n"
+        )
+        model = get_model(
+            name="Res16UNet14", out_channel=5, num_batches=2,
+            planes=(8,) * 8,
+        )
+        field = process_input(batch)
+        variables = model.init(jax.random.PRNGKey(0), field, train=False)
+        out = model.apply(variables, field, train=False)
+        outs[method] = np.asarray(out)
+    np.testing.assert_allclose(
+        outs["hybrid"][mask], outs["row"][mask], rtol=2e-4, atol=2e-4
+    )
+
+
 def test_model_forward_window_matches_row(rng):
     """Full Res16UNet forward: method='window' == row path."""
     from nerf_downstream_tpu.models import get_model
