@@ -43,8 +43,10 @@ ITERS = 10
 
 BLOCK_BINDINGS = (
     "CoordinateContext.grid_extent = 128\n"
-    'CoordinateContext.method = "block_resident"\n'
+    'CoordinateContext.method = "hybrid"\n'
     "CoordinateContext.block_caps = (18432, 3904, 896, 224, 40)\n"
+    "CoordinateContext.window_tile = 256\n"
+    "CoordinateContext.window_size = 512\n"
     "field_to_sparse.assume_unique = True\n"
 )
 

@@ -150,7 +150,10 @@ class LitModel:
 
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
+            # mutable=False (not []) when stat-less: flax returns the bare
+            # output only for mutable=False — an empty LIST still returns
+            # an (out, vars) tuple, which broke the ViT (no batch_stats) path
+            mutable = False
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]

@@ -89,6 +89,38 @@ def test_vit_forward(rng):
     assert logits.shape == (2, 51)
 
 
+def test_vit_train_step(rng):
+    """A batch-stat-LESS model through LitModel's train step (regression:
+    flax apply(mutable=[]) still returns an (out, vars) tuple, which made
+    _celoss see a tuple for every ViT arch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_downstream_tpu.models import image as image_models
+    from nerf_downstream_tpu.models.image import vit as vit_mod
+    from nerf_downstream_tpu.train.modules2d import LitModel
+
+    vit_mod.VIT_SPECS["vit_test_tiny"] = dict(dim=32, depth=1, heads=2)
+    image_models.VIT_LIST.append("vit_test_tiny")
+    try:
+        lit = LitModel(model_name="vit_test_tiny", num_training_steps=10)
+        data = {
+            "images": jnp.asarray(
+                rng.normal(size=(2, 64, 64, 3)), jnp.float32
+            ),
+            "labels": jnp.asarray([1, 2]),
+        }
+        state = lit.create_state(jax.random.PRNGKey(0), data)
+        # the regression needs the stat-less (mutable=False) path
+        assert not state.batch_stats
+        step = lit.make_train_step()
+        state, mets = step(state, data)
+        assert np.isfinite(float(mets["loss"]))
+    finally:
+        vit_mod.VIT_SPECS.pop("vit_test_tiny")
+        image_models.VIT_LIST.remove("vit_test_tiny")
+
+
 def _write_perfception_tree(tmp_path, rng, n_scenes=4, frames=3):
     from nerf_downstream_tpu.data.co3d import CLASSES
 
