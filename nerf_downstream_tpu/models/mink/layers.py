@@ -152,16 +152,13 @@ class SparseConv(nn.Module):
         ):
             if isinstance(sv, BlockVoxels):
                 sv = br.to_rows(sv)
-            km = ctx.kernel_map(
-                sv.coords, sv.mask, sv.coords, sv.mask, full_offs,
-                in_stride=sv.stride,
+            # plans come straight from the level's sorted keys — the row
+            # kernel map (grid scatter + K*N gathers, ~45 ms/step at 64k)
+            # is never built on this path
+            plan = ctx.window_plan_direct(sv.coords, sv.mask, full_offs)
+            inv_plan = ctx.window_plan_direct(
+                sv.coords, sv.mask, full_offs, transpose=True
             )
-            inv = ctx.kernel_map(
-                sv.coords, sv.mask, sv.coords, sv.mask, full_offs,
-                transpose=True, in_stride=sv.stride,
-            )
-            plan = ctx.window_plan(km, sv.capacity, full_offs)
-            inv_plan = ctx.window_plan(inv, sv.capacity, full_offs)
             w = self.param(
                 "kernel",
                 _kaiming_conv_init,

@@ -113,6 +113,97 @@ def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm, tile,
     )(starts, idx_p, w_perm, feats_pad, feats_pad)
 
 
+def _match_kernel(m, starts_ref, qh_ref, ql_ref,
+                  hi0_ref, hi1_ref, lo0_ref, lo1_ref, idx_ref):
+    win_hi = jnp.concatenate([hi0_ref[:], hi1_ref[:]], axis=0)  # [2W, 1]
+    win_lo = jnp.concatenate([lo0_ref[:], lo1_ref[:]], axis=0)
+    w2 = win_hi.shape[0]
+    tile = qh_ref.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (w2, tile), 0)
+    for j in range(m):
+        qh = qh_ref[0, 0, j, :].reshape(1, tile)
+        ql = ql_ref[0, 0, j, :].reshape(1, tile)
+        match = (win_hi == qh) & (win_lo == ql)  # [2W, T]
+        # keys are unique, so <=1 match per column; -1 where none
+        idx_ref[0, 0, j, :] = jnp.max(jnp.where(match, iota, -1), axis=0)
+
+
+def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window):
+    """In-window neighbor indices by key equality: idx int32[G, M, N].
+
+    ``hi``/``lo``: the level's sorted packed keys [N] (uint32);
+    ``q_hi``/``q_lo``: per-(group, member) shifted query keys [G, M, N];
+    ``starts``: quantized window starts int32[G, nT]. Streams the same
+    aligned key windows the conv kernel streams for features; the one-hot
+    equality that the conv later rebuilds from ``idx`` is computed here
+    against *keys* — so the whole kernel-map + plan pipeline never touches
+    HBM at row granularity.
+    """
+    g_count, m, n_out = q_hi.shape
+    nt = n_out // tile
+    i32 = jnp.int32
+    hi_pad = jnp.concatenate(
+        [hi.astype(i32), jnp.full((2 * window,), -1, i32)]
+    )[:, None]
+    lo_pad = jnp.concatenate(
+        [lo.astype(i32), jnp.full((2 * window,), -1, i32)]
+    )[:, None]
+    qh_p = q_hi.astype(i32).reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    ql_p = q_lo.astype(i32).reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt, g_count),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, m, tile),
+                lambda t, g, st: (g, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, m, tile),
+                lambda t, g, st: (g, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window, 1),
+                lambda t, g, st: (st[g, t] // window, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window, 1),
+                lambda t, g, st: (st[g, t] // window + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window, 1),
+                lambda t, g, st: (st[g, t] // window, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (window, 1),
+                lambda t, g, st: (st[g, t] // window + 1, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, m, tile), lambda t, g, st: (g, t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    idx_p = pl.pallas_call(
+        functools.partial(_match_kernel, m),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((g_count, nt, m, tile), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * g_count * m * n_out * 2 * window,
+            bytes_accessed=8 * n_out * (g_count * m + 2),
+            transcendentals=0,
+        ),
+    )(starts, qh_p, ql_p, hi_pad, hi_pad, lo_pad, lo_pad)
+    return idx_p.transpose(0, 2, 1, 3).reshape(g_count, m, n_out)
+
+
 def _dw_kernel(m, compute_dtype,
                starts_ref, idx_ref, gout_ref, win0_ref, win1_ref, dw_ref):
     t = pl.program_id(1)

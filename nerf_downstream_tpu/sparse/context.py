@@ -43,6 +43,7 @@ class CoordinateContext:
         overflow_guard: bool = True,
         window_tile: int = 256,
         window_size: int = 512,
+        level_caps: tuple | None = None,
     ):
         # grid_extent is configured per dataset (coordinate span in finest
         # voxel units, e.g. ``CoordinateContext.grid_extent = 320`` for
@@ -103,6 +104,22 @@ class CoordinateContext:
                 kernel_map, n_in, offsets,
                 tile=self.window_tile, window=self.window_size,
                 expansion=expansion,
+            )
+        return self._window_plans[key]
+
+    def window_plan_direct(self, coords, mask, offsets, transpose=False):
+        """Window plan for a same-set stride-preserving conv, built straight
+        from the level's sorted packed keys (no kernel map, no grid index) —
+        see ops/window_conv.py::build_plan_direct. Cached per (coords,
+        offsets, transpose) like kernel maps."""
+        key = (id(coords), offsets.tobytes(), bool(transpose), "direct")
+        if key not in self._window_plans:
+            from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+
+            self._window_plans[key] = build_plan_direct(
+                coords, mask, offsets,
+                tile=self.window_tile, window=self.window_size,
+                transpose=transpose,
             )
         return self._window_plans[key]
 

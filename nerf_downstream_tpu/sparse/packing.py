@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Bit layout: hi = b(11 bits) | x(20 bits, biased); lo = y(16) | z(16, biased)
 _X_BITS = 20
@@ -95,6 +96,40 @@ def find(s_hi, s_lo, q_hi, q_lo, *, missing: int | None = None):
     # carry INVALID_KEY too) — exclude them explicitly.
     valid_q = ~((q_hi == INVALID_KEY) & (q_lo == INVALID_KEY))
     return jnp.where(found & valid_q, pos, missing)
+
+
+def offset_delta(d, stride_bits: int = 0) -> tuple[int, int]:
+    """Packed-key delta of a coordinate offset ``d = (dx, dy, dz)``.
+
+    Because the bit layout is positional (b|x in hi, y|z in lo), the key of
+    ``coord + d`` equals ``key + delta`` as a 64-bit add — for ANY coord,
+    with no grid-extent aliasing: a neighbor outside the occupied set simply
+    produces a key that exists nowhere in the (unique) key table.
+    """
+    dx, dy, dz = (int(v) for v in d)
+    return dx, dy * (1 << _Z_BITS) + dz
+
+
+def shift_keys(hi, lo, d_hi: int, d_lo: int, mask=None):
+    """Keys of ``coord + d`` via 64-bit (hi, lo) add with carry/borrow.
+
+    ``d_hi``/``d_lo`` are static Python ints from ``offset_delta``. Rows
+    where ``mask`` is False get a key that matches nothing — hi=INVALID_KEY
+    with lo != INVALID_KEY, a combination no packed or padding key carries.
+    """
+    u_lo = jnp.uint32(np.uint32(d_lo & 0xFFFFFFFF))
+    q_lo = lo + u_lo
+    if d_lo > 0:
+        carry = (q_lo < lo).astype(jnp.uint32)
+    elif d_lo < 0:
+        carry = jnp.uint32(0) - (q_lo > lo).astype(jnp.uint32)
+    else:
+        carry = jnp.uint32(0)
+    q_hi = hi + jnp.uint32(np.uint32(d_hi & 0xFFFFFFFF)) + carry
+    if mask is not None:
+        q_hi = jnp.where(mask, q_hi, INVALID_KEY)
+        q_lo = jnp.where(mask, q_lo, jnp.uint32(0xFFFFFFFE))
+    return q_hi, q_lo
 
 
 def unique_first_occurrence(s_hi, s_lo, s_valid):

@@ -161,6 +161,129 @@ def test_window_conv_strided_and_transpose(rng):
     )
 
 
+def test_shift_keys_matches_repack(rng):
+    """key(coord + d) == shift_keys(key(coord), offset_delta(d)) for every
+    3^3 offset, including carries across the z->y and y->x field borders."""
+    from nerf_downstream_tpu.sparse import packing
+
+    coords = rng.integers(-40, 40, (300, 4)).astype(np.int32)
+    coords[:, 0] = rng.integers(0, 5, 300)
+    # rows straddling field borders (z/y near 0 crosses the bias boundary)
+    coords[:50, 3] = 0
+    coords[50:100, 2] = 0
+    mask = np.ones(300, bool)
+    mask[280:] = False
+    hi, lo = packing.pack(jnp.asarray(coords), jnp.asarray(mask))
+    for d in kernel_offsets(3, 1):
+        d_hi, d_lo = packing.offset_delta(d)
+        q_hi, q_lo = packing.shift_keys(hi, lo, d_hi, d_lo,
+                                        mask=jnp.asarray(mask))
+        shifted = coords.copy()
+        shifted[:, 1:] += np.asarray(d)
+        r_hi, r_lo = packing.pack(jnp.asarray(shifted), jnp.asarray(mask))
+        np.testing.assert_array_equal(
+            np.asarray(q_hi)[mask], np.asarray(r_hi)[mask]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(q_lo)[mask], np.asarray(r_lo)[mask]
+        )
+        # invalid rows must match nothing, incl. sorted INVALID padding
+        assert (np.asarray(q_hi)[~mask] == 0xFFFFFFFF).all()
+        assert (np.asarray(q_lo)[~mask] != 0xFFFFFFFF).all()
+
+
+@pytest.mark.quick
+def test_plan_direct_matches_plan_from_map(rng):
+    """build_plan_direct (sorted-key matching, no kernel map) must convolve
+    identically to the kernel-map-derived plan, fwd and grads."""
+    from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+
+    sv = make_sorted_sv(rng, n=1024, valid=900, c=12, extent=24)
+    offs = kernel_offsets(3, 1)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    km, inv = _maps(sv, sv, offs, ctx)
+    plan_ref = build_plan(km, sv.capacity, offs, tile=128, window=128)
+    inv_ref = build_plan(inv, sv.capacity, offs, tile=128, window=128)
+    plan = build_plan_direct(sv.coords, sv.mask, offs, tile=128, window=128)
+    inv_plan = build_plan_direct(
+        sv.coords, sv.mask, offs, tile=128, window=128, transpose=True
+    )
+    assert int(plan.n_escaped) == 0 and int(inv_plan.n_escaped) == 0
+    # idx semantics must agree entry-by-entry: same neighbor (relative to
+    # each plan's own starts) or same absence
+    for p_ref, p_new in [(plan_ref, plan), (inv_ref, inv_plan)]:
+        ref_abs = np.asarray(p_ref.idx).astype(np.int64)
+        new_abs = np.asarray(p_new.idx).astype(np.int64)
+        t = p_ref.tile
+        for g in range(ref_abs.shape[0]):
+            st_ref = np.repeat(np.asarray(p_ref.starts)[g], t)
+            st_new = np.repeat(np.asarray(p_new.starts)[g], t)
+            a = np.where(ref_abs[g] >= 0, ref_abs[g] + st_ref, -1)
+            b = np.where(new_abs[g] >= 0, new_abs[g] + st_new, -1)
+            np.testing.assert_array_equal(a, b)
+
+    w = jnp.asarray(rng.normal(size=(27, 12, 16)).astype(np.float32) * 0.1)
+
+    def loss(feats, weights, p, ip):
+        out = window_conv_apply(feats, p, ip, weights)
+        return jnp.sum(jnp.where(sv.mask[:, None], out, 0) ** 2)
+
+    got = window_conv_apply(sv.feats, plan, inv_plan, w)
+    ref = window_conv_apply(sv.feats, plan_ref, inv_ref, w)
+    m = np.asarray(sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[m], np.asarray(ref)[m], rtol=1e-5, atol=1e-5
+    )
+    gf, gw = jax.grad(
+        lambda f, ww: loss(f, ww, plan, inv_plan), argnums=(0, 1)
+    )(sv.feats, w)
+    rgf, rgw = jax.grad(
+        lambda f, ww: loss(f, ww, plan_ref, inv_ref), argnums=(0, 1)
+    )(sv.feats, w)
+    np.testing.assert_allclose(
+        np.asarray(gf)[m], np.asarray(rgf)[m], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw), np.asarray(rgw), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_match_pallas_interpret_matches_xla(rng, monkeypatch):
+    """window_match_pallas (interpret mode) == the XLA find-based idx."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+    from nerf_downstream_tpu.ops.pallas.window_gather import (
+        window_match_pallas,
+    )
+    from nerf_downstream_tpu.sparse import packing
+
+    monkeypatch.setenv("NDT_WINDOW_PALLAS", "0")
+    sv = make_sorted_sv(rng, n=512, valid=430, c=4, extent=16)
+    offs = kernel_offsets(3, 1)
+    for transpose in (False, True):
+        plan = build_plan_direct(
+            sv.coords, sv.mask, offs, tile=64, window=64, transpose=transpose
+        )
+        hi, lo = packing.pack(sv.coords, sv.mask)
+        o = -offs if transpose else offs
+        perm = list(plan.perm)
+        q_hi, q_lo = [], []
+        for i in perm:
+            d_hi, d_lo = packing.offset_delta(o[i])
+            qh, ql = packing.shift_keys(hi, lo, d_hi, d_lo, mask=sv.mask)
+            q_hi.append(qh)
+            q_lo.append(ql)
+        g_count, m, n = plan.idx.shape
+        q_hi = jnp.stack(q_hi).reshape(g_count, m, n)
+        q_lo = jnp.stack(q_lo).reshape(g_count, m, n)
+        with pltpu.force_tpu_interpret_mode():
+            got = window_match_pallas(
+                hi, lo, q_hi, q_lo, plan.starts, plan.tile, plan.window
+            )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(plan.idx))
+
+
 def test_escape_poisons(rng):
     """A window too small for the data must NaN-poison, never truncate."""
     sv = make_sorted_sv(rng, n=512, valid=480, c=4, extent=12)
