@@ -41,12 +41,19 @@ NUM_CLASSES = 20
 WARMUP = 3
 ITERS = 10
 
+# fully-windowed hybrid: per-level row caps from this workload's measured
+# occupied rows (62400/12832/2934/763/231 at strides 1..16) with ~15%
+# slack, rounded to window-tile multiples; window coverage = 4 x 256 =
+# 1024 rows (worst measured tile span 584 + 256 quantization). Both
+# guards (level-cap overflow, window escape) NaN-poison, so a throughput
+# number from a truncated run is impossible.
 BLOCK_BINDINGS = (
     "CoordinateContext.grid_extent = 128\n"
     'CoordinateContext.method = "hybrid"\n'
-    "CoordinateContext.block_caps = (18432, 3904, 896, 224, 40)\n"
+    "CoordinateContext.level_caps = (65536, 14848, 3584, 1024, 512)\n"
     "CoordinateContext.window_tile = 256\n"
-    "CoordinateContext.window_size = 512\n"
+    "CoordinateContext.window_size = 256\n"
+    "CoordinateContext.window_blocks = 4\n"
     "field_to_sparse.assume_unique = True\n"
 )
 
@@ -143,9 +150,7 @@ def bench_eval_latency():
     out = {}
     for name, sparse in [("dense", None), ("zaxis", [2] * 9)]:
         cfg.clear_config()
-        cfg.parse_config(BLOCK_BINDINGS.replace(
-            "(18432, 3904, 896, 224, 40)", "(19712, 4224, 960, 256, 64)"
-        ))
+        cfg.parse_config(BLOCK_BINDINGS)
         batch = array_batch(make_batch(rng))
         task = _make_task(jnp, sparse=sparse)
         state = task.create_state(jax.random.PRNGKey(0), batch)

@@ -138,46 +138,69 @@ class SparseConv(nn.Module):
             )
         )
 
-        # hybrid fast path: stride-1 k3 convs at the FINEST level ride the
-        # windowed gather conv (valid rows ≈ capacity there; measured f+b
-        # 8.3 ms vs 28.3 ms for the block halo conv at 64k rows, C=96)
-        if (
-            ctx.use_window_s1()
-            and self.kernel_size == 3
-            and self.stride == 1
-            and self.dilation == 1
-            and subset is None
-            and sv.stride == 1
-            and _window_groups_ok(full_offs)
-        ):
-            if isinstance(sv, BlockVoxels):
-                sv = br.to_rows(sv)
-            # plans come straight from the level's sorted keys — the row
-            # kernel map (grid scatter + K*N gathers, ~45 ms/step at 64k)
-            # is never built on this path
-            plan = ctx.window_plan_direct(sv.coords, sv.mask, full_offs)
-            inv_plan = ctx.window_plan_direct(
-                sv.coords, sv.mask, full_offs, transpose=True
+        # the fully-windowed default (method "auto"/"hybrid"): every conv
+        # rides sorted-key window gathers — s1 k3 convs at EVERY level
+        # (per-level row caps keep work proportional to live rows, see
+        # CoordinateContext.level_caps), s2 k2/k1 down convs as cross-set
+        # plans. No block layouts, no grid kernel maps on this path.
+        if ctx.use_window_full() and self.dilation == 1:
+            offs_w = (
+                full_offs if subset is None else full_offs[list(subset)]
             )
-            w = self.param(
-                "kernel",
-                _kaiming_conv_init,
-                (len(full_offs), cin, self.out_channels),
+            s1_ok = (
+                self.kernel_size == 3
+                and self.stride == 1
+                and _window_groups_ok(offs_w)
             )
-            b = (
-                self.param(
-                    "bias", nn.initializers.zeros, (self.out_channels,)
+            down_ok = (
+                self.kernel_size in (1, 2)
+                and self.stride == 2
+                and subset is None
+            )
+            if s1_ok or down_ok:
+                if isinstance(sv, BlockVoxels):
+                    sv = br.to_rows(sv)
+                # plans come straight from the level's sorted keys — the
+                # row kernel map (grid scatter + K*N gathers, ~45 ms/step
+                # at 64k) is never built on this path
+                if s1_ok:
+                    out_sv = sv
+                    plan = ctx.window_plan_direct(sv.coords, sv.mask, offs_w)
+                    inv_plan = ctx.window_plan_direct(
+                        sv.coords, sv.mask, offs_w, transpose=True
+                    )
+                else:
+                    out_sv = ctx.strided(sv, 2)
+                    plan = ctx.window_plan_cross(
+                        sv, out_sv, offs_w, expanding=True
+                    )
+                    inv_plan = ctx.window_plan_cross(
+                        out_sv, sv, offs_w, transpose=True
+                    )
+                w = self.param(
+                    "kernel",
+                    _kaiming_conv_init,
+                    (len(full_offs), cin, self.out_channels),
                 )
-                if self.use_bias
-                else None
-            )
-            out_f = window_conv_apply(
-                sv.feats, plan, inv_plan, w, b,
-                compute_dtype=self.compute_dtype, guard=ctx.overflow_guard,
-            ).astype(self.compute_dtype)
-            return SparseVoxels(
-                coords=sv.coords, feats=out_f, mask=sv.mask, stride=sv.stride
-            )
+                if subset is not None:
+                    w = w[jnp.asarray(list(subset))]
+                b = (
+                    self.param(
+                        "bias", nn.initializers.zeros, (self.out_channels,)
+                    )
+                    if self.use_bias
+                    else None
+                )
+                out_f = window_conv_apply(
+                    sv.feats, plan, inv_plan, w, b,
+                    compute_dtype=self.compute_dtype,
+                    guard=ctx.overflow_guard,
+                ).astype(self.compute_dtype)
+                out_f = ctx.level_poison(out_sv.coords, out_f)
+                return SparseVoxels(
+                    coords=out_sv.coords, feats=out_f, mask=out_sv.mask,
+                    stride=out_sv.stride,
+                )
         if ctx.use_block_resident() and blockable:
             if sv.feats.dtype != self.compute_dtype:
                 # cast on rows/cells BEFORE densify so the scatter moves
@@ -302,6 +325,8 @@ class SparseConv(nn.Module):
                 sv.feats, km, w, b, compute_dtype=self.compute_dtype,
                 inv_map=inv,
             ).astype(self.compute_dtype)
+        if out_sv is not sv:
+            out_f = ctx.level_poison(out_sv.coords, out_f)
         return SparseVoxels(
             coords=out_sv.coords,
             feats=out_f,
@@ -330,6 +355,48 @@ class SparseConvTranspose(nn.Module):
         self, sv: SparseVoxels, ctx: CoordinateContext, target: SparseVoxels
     ) -> SparseVoxels:
         cin = sv.num_channels
+        if (
+            ctx.use_window_full()
+            and self.kernel_size == 2
+            and self.upsample_stride == 2
+            and self.dilation == 1
+        ):
+            # windowed transpose conv: the coarse->fine map contracts (~1/4
+            # table rank per output row — tiny spans), and its inverse is
+            # exactly the encoder down conv's forward plan (ctx cache hit)
+            if isinstance(sv, BlockVoxels):
+                sv = br.to_rows(sv)
+            if isinstance(target, BlockVoxels):
+                target = br.to_rows(target)
+            offs = kernel_offsets(
+                self.kernel_size, target.stride, self.dilation
+            )
+            if _window_groups_ok(offs):
+                plan = ctx.window_plan_cross(sv, target, offs, transpose=True)
+                inv_plan = ctx.window_plan_cross(
+                    target, sv, offs, expanding=True
+                )
+                w = self.param(
+                    "kernel", _kaiming_conv_init,
+                    (len(offs), cin, self.out_channels),
+                )
+                b = (
+                    self.param(
+                        "bias", nn.initializers.zeros, (self.out_channels,)
+                    )
+                    if self.use_bias
+                    else None
+                )
+                out_f = window_conv_apply(
+                    sv.feats, plan, inv_plan, w, b,
+                    compute_dtype=self.compute_dtype,
+                    guard=ctx.overflow_guard,
+                ).astype(self.compute_dtype)
+                out_f = ctx.level_poison(target.coords, out_f)
+                return SparseVoxels(
+                    coords=target.coords, feats=out_f, mask=target.mask,
+                    stride=target.stride,
+                )
         if (
             ctx.use_block_resident()
             and self.kernel_size == 2
@@ -461,6 +528,8 @@ class SparsePool(nn.Module):
             in_stride=sv.stride,
         )
         out_f = window_pool(sv.masked_feats(), km, self.mode)
+        if out_sv is not sv:
+            out_f = ctx.level_poison(out_sv.coords, out_f)
         return SparseVoxels(
             coords=out_sv.coords,
             feats=out_f,

@@ -60,6 +60,10 @@ class WindowPlan:
     perm: tuple = flax.struct.field(pytree_node=False, default=())
     tile: int = flax.struct.field(pytree_node=False, default=256)
     window: int = flax.struct.field(pytree_node=False, default=512)
+    # coverage = blocks * window rows per tile; cross-set maps (a strided
+    # down conv consumes ~4-8 input ranks per output row) widen coverage
+    # with more aligned blocks instead of shrinking the tile to Pallas dust
+    blocks: int = flax.struct.field(pytree_node=False, default=2)
 
 
 def group_offsets(offsets: np.ndarray) -> tuple[tuple[int, ...], ...]:
@@ -86,6 +90,7 @@ def build_plan(
     tile: int = 256,
     window: int = 512,
     expansion: int = 1,
+    blocks: int = 2,
 ) -> WindowPlan:
     """Tile a monotone kernel map into window starts + in-window indices.
 
@@ -116,17 +121,17 @@ def build_plan(
     tmin = jnp.where(tmin == big, -1, tmin)
     starts = jnp.maximum(jax.lax.cummax(tmin, axis=1), 0)
     # quantize starts DOWN to multiples of ``window``: the effective
-    # coverage becomes [qstart, qstart + 2*window) ⊇ the unquantized
-    # [start, start + window), and window fetches become two aligned
+    # coverage becomes [qstart, qstart + blocks*window) ⊇ the unquantized
+    # [start, start + window), and window fetches become ``blocks`` aligned
     # ``window``-row blocks — which the Pallas kernel's pipelined BlockSpec
     # machinery can stream with zero per-tile descriptor overhead.
     starts = ((starts // window) * window).astype(jnp.int32)
-    # feats are padded by 2*window rows, so [qstart, qstart+2W) stays in
+    # feats are padded by blocks*window rows, so the coverage stays in
     # bounds for any qstart <= n_in - 1
     rel = km - jnp.repeat(starts[:, None, :], tile, axis=2).reshape(
         len(groups), 1, n_out
     )
-    in_win = valid & (rel >= 0) & (rel < 2 * window)
+    in_win = valid & (rel >= 0) & (rel < blocks * window)
     n_escaped = jnp.sum((valid & ~in_win).astype(jnp.int32))
     idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
     return WindowPlan(
@@ -136,6 +141,7 @@ def build_plan(
         perm=perm,
         tile=tile,
         window=window,
+        blocks=blocks,
     )
 
 
@@ -148,7 +154,7 @@ def build_plan_direct(
     transpose: bool = False,
     out_coords: jax.Array | None = None,
     out_mask: jax.Array | None = None,
-    expansion: int = 1,
+    blocks: int = 2,
 ) -> WindowPlan:
     """Window plan straight from sorted packed keys — no kernel map, no grid.
 
@@ -173,9 +179,11 @@ def build_plan_direct(
 
     Cross-set maps (a strided down conv's coarse-out-from-fine-in, a
     transpose conv's fine-out-from-coarse-in) pass the query set as
-    ``out_coords``/``out_mask`` — the table stays ``coords``; ``expansion``
-    shrinks the tile like ``build_plan`` (input-rank advance per output
-    row). Same-set stride-preserving maps omit them.
+    ``out_coords``/``out_mask`` — the table stays ``coords``; maps whose
+    input-rank advance per output row exceeds 1 (a stride-2 down conv
+    consumes ~4-8 fine ranks per coarse row) widen ``blocks`` so
+    coverage = blocks*window tracks the larger span. Same-set
+    stride-preserving maps omit them.
 
     Replaces the grid-index kernel-map builder whose scatter+gather chain
     measured ~45 ms/step at 64k rows — reference semantics unchanged
@@ -198,7 +206,6 @@ def build_plan_direct(
     offs = np.asarray(offsets)
     if transpose:
         offs = -offs
-    tile = max(32, tile // max(int(expansion), 1))
     while n % tile and tile > 8:  # small-capacity tests
         tile //= 2
     assert n % tile == 0, f"capacity {n} not divisible by window tile {tile}"
@@ -230,7 +237,9 @@ def build_plan_direct(
     emax = jnp.max(bnd_g[:, :, 1:], axis=1)
     starts = jnp.maximum(jax.lax.cummax(smin, axis=1), 0)
     starts = ((starts // window) * window).astype(jnp.int32)
-    n_escaped = jnp.sum((emax - starts > 2 * window).astype(jnp.int32))
+    n_escaped = jnp.sum(
+        (emax - starts > blocks * window).astype(jnp.int32)
+    )
 
     # --- in-window indices ---
     q_hi = jnp.stack(
@@ -250,7 +259,9 @@ def build_plan_direct(
             window_match_pallas,
         )
 
-        idx = window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window)
+        idx = window_match_pallas(
+            hi, lo, q_hi, q_lo, starts, tile, window, blocks
+        )
     else:
         pos = packing.find(
             hi, lo, q_hi.reshape(-1), q_lo.reshape(-1), missing=n_in
@@ -258,7 +269,7 @@ def build_plan_direct(
         rel = pos - jnp.repeat(starts[:, None, :], tile, axis=2).reshape(
             len(groups), 1, n
         )
-        in_win = (pos < n_in) & (rel >= 0) & (rel < 2 * window)
+        in_win = (pos < n_in) & (rel >= 0) & (rel < blocks * window)
         idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
     return WindowPlan(
         starts=starts,
@@ -267,6 +278,7 @@ def build_plan_direct(
         perm=perm,
         tile=tile,
         window=window,
+        blocks=blocks,
     )
 
 
@@ -283,10 +295,10 @@ def _use_pallas() -> bool:
 
 
 def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
-                          compute_dtype):
+                          compute_dtype, blocks=2):
     """sum over (g, m) of onehot(idx[g, m]) @ window_g @ w[g, m]; f32 acc.
 
-    feats_pad: [n_in + 2*window, C]; starts [G, nT]; idx [G, M, N];
+    feats_pad: [n_in + blocks*window, C]; starts [G, nT]; idx [G, M, N];
     w_perm [G, M, C, Cout]. On TPU the Pallas kernel generates the one-hot
     in VMEM (ops/pallas/window_gather.py); the XLA fallback materializes it
     (CPU tests / NDT_WINDOW_PALLAS=0). One lax.scan over groups keeps the
@@ -300,13 +312,13 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
 
         return window_gather_matmul_pallas(
             feats_pad, starts, idx, w_perm.astype(compute_dtype),
-            tile, window, compute_dtype,
+            tile, window, compute_dtype, blocks,
         )
     g_count, nt = starts.shape
     n_out = idx.shape[2]
     c = feats_pad.shape[1]
     cout = w_perm.shape[-1]
-    w2 = 2 * window
+    w2 = blocks * window
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, w2), 2)
 
     def per_group(acc, xs):
@@ -340,7 +352,8 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
     return acc
 
 
-def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype):
+def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype,
+               blocks=2):
     """d_w[g, m] = gathered[g, m]^T @ g_out (forward gathers recomputed)."""
     if _use_pallas():
         from nerf_downstream_tpu.ops.pallas.window_gather import (
@@ -348,12 +361,13 @@ def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype):
         )
 
         return window_dw_pallas(
-            feats_pad, starts, idx, g_out, tile, window, compute_dtype
+            feats_pad, starts, idx, g_out, tile, window, compute_dtype,
+            blocks,
         )
     g_count, nt = starts.shape
     n_out = idx.shape[2]
     c = feats_pad.shape[1]
-    w2 = 2 * window
+    w2 = blocks * window
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, w2), 2)
 
     def per_group(_, xs):
@@ -382,42 +396,45 @@ def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype):
     return d_w  # [G, M, C, Cout]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _window_conv_core(feats_pad, starts, idx, inv_starts, inv_idx, tile,
-                      inv_tile, window, compute_dtype, w_perm):
+                      inv_tile, window, compute_dtype, blocks, inv_blocks,
+                      w_perm):
     return _window_gather_matmul(
-        feats_pad, starts, idx, w_perm, tile, window, compute_dtype
+        feats_pad, starts, idx, w_perm, tile, window, compute_dtype, blocks
     )
 
 
 def _core_fwd(feats_pad, starts, idx, inv_starts, inv_idx, tile, inv_tile,
-              window, compute_dtype, w_perm):
+              window, compute_dtype, blocks, inv_blocks, w_perm):
     out = _window_gather_matmul(
-        feats_pad, starts, idx, w_perm, tile, window, compute_dtype
+        feats_pad, starts, idx, w_perm, tile, window, compute_dtype, blocks
     )
     return out, (feats_pad, starts, idx, inv_starts, inv_idx, w_perm)
 
 
-def _core_bwd(tile, inv_tile, window, compute_dtype, res, g):
+def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
+              res, g):
     feats_pad, starts, idx, inv_starts, inv_idx, w_perm = res
     n_pad, cin = feats_pad.shape
-    n_in = n_pad - 2 * window
+    n_in = n_pad - blocks * window
     gc = g.astype(compute_dtype)
     g_pad = jnp.concatenate(
-        [gc, jnp.zeros((2 * window, gc.shape[1]), gc.dtype)], axis=0
+        [gc, jnp.zeros((inv_blocks * window, gc.shape[1]), gc.dtype)], axis=0
     )
     # d_feats: the transpose map is the per-offset inverse of the forward
     # map, so scatter-add(d) == windowed gather along the inverse plan with
     # channel-transposed weights. Gather-only backward.
     w_t = jnp.swapaxes(w_perm, -1, -2)
     d_in = _window_gather_matmul(
-        g_pad, inv_starts, inv_idx, w_t, inv_tile, window, compute_dtype
+        g_pad, inv_starts, inv_idx, w_t, inv_tile, window, compute_dtype,
+        inv_blocks,
     )[:n_in]
     d_feats = jnp.concatenate(
-        [d_in, jnp.zeros((2 * window, cin), d_in.dtype)], axis=0
+        [d_in, jnp.zeros((blocks * window, cin), d_in.dtype)], axis=0
     ).astype(feats_pad.dtype)
     d_w = _window_dw(
-        feats_pad, starts, idx, gc, tile, window, compute_dtype
+        feats_pad, starts, idx, gc, tile, window, compute_dtype, blocks
     ).astype(w_perm.dtype)
     return d_feats, None, None, None, None, d_w
 
@@ -448,7 +465,8 @@ def window_conv_apply(
     n_in, cin = feats.shape
     g_count, m, _ = plan.idx.shape
     feats_pad = jnp.concatenate(
-        [feats, jnp.zeros((2 * plan.window, cin), feats.dtype)], axis=0
+        [feats, jnp.zeros((plan.blocks * plan.window, cin), feats.dtype)],
+        axis=0,
     ).astype(compute_dtype)
     w = weights.astype(compute_dtype)[jnp.asarray(plan.perm)].reshape(
         g_count, m, cin, weights.shape[-1]
@@ -457,7 +475,8 @@ def window_conv_apply(
     # (dx, dy); pair weights by the inverse plan's own permutation
     out = _window_conv_core(
         feats_pad, plan.starts, plan.idx, inv_plan.starts, inv_plan.idx,
-        plan.tile, inv_plan.tile, plan.window, compute_dtype, w,
+        plan.tile, inv_plan.tile, plan.window, compute_dtype,
+        plan.blocks, inv_plan.blocks, w,
     )
     if guard:
         # fail loud on window escapes (cf. block-cap overflow poison):

@@ -43,6 +43,7 @@ class CoordinateContext:
         overflow_guard: bool = True,
         window_tile: int = 256,
         window_size: int = 512,
+        window_blocks: int = 2,
         level_caps: tuple | None = None,
     ):
         # grid_extent is configured per dataset (coordinate span in finest
@@ -72,9 +73,22 @@ class CoordinateContext:
         # grid_extent; escapes NaN-poison (raise window_size if they occur)
         self.window_tile = window_tile
         self.window_size = window_size
+        # coverage = window_blocks * window_size rows per tile; smaller
+        # window_size with more blocks = same reach, finer start
+        # quantization (less wasted gather arithmetic)
+        self.window_blocks = window_blocks
+        # per-level ROW capacities (level i = log2 of absolute tensor
+        # stride, like block_caps): occupied rows of surface-shell data
+        # thin ~4x per stride doubling, so carrying the finest capacity
+        # through every level wastes capacity-proportional work in every
+        # op. Derived from dataset statistics; a level whose unique coords
+        # exceed its cap NaN-poisons that level's features (fail loud,
+        # same contract as block-cap overflow / window escapes).
+        self.level_caps = level_caps
         self._window_plans: dict = {}
         self._kmaps: dict = {}
         self._strided: dict = {}
+        self._level_overflow: dict = {}
         self._grids: dict = {}
         self._block_layouts: dict = {}
         self._block_grids: dict = {}
@@ -119,30 +133,60 @@ class CoordinateContext:
             self._window_plans[key] = build_plan_direct(
                 coords, mask, offsets,
                 tile=self.window_tile, window=self.window_size,
+                blocks=self.window_blocks, transpose=transpose,
+            )
+        return self._window_plans[key]
+
+    def window_plan_cross(
+        self, table_sv, query_sv, offsets, transpose=False, expanding=False
+    ):
+        """Window plan for a cross-set map (strided down conv / transpose
+        up conv): neighbor ranks of ``query_sv``'s coords matched in
+        ``table_sv``'s sorted key table.
+
+        ``expanding``: the map advances >1 table rank per query row (a
+        stride-2 down conv consumes ~4-8 fine ranks per coarse row) —
+        halve the tile and widen coverage to 4 window blocks; contracting
+        maps (transpose convs: ~1/4 rank per row) keep the same-set
+        geometry. Escapes NaN-poison either way (fail loud; raise
+        ``window_size`` if it fires)."""
+        key = (
+            id(table_sv.coords), id(query_sv.coords), offsets.tobytes(),
+            bool(transpose), "cross",
+        )
+        if key not in self._window_plans:
+            from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+
+            if expanding:
+                tile = max(32, self.window_tile // 2)
+                blocks = 2 * self.window_blocks
+            else:
+                tile, blocks = self.window_tile, self.window_blocks
+            self._window_plans[key] = build_plan_direct(
+                table_sv.coords, table_sv.mask, offsets,
+                tile=tile, window=self.window_size, blocks=blocks,
                 transpose=transpose,
+                out_coords=query_sv.coords, out_mask=query_sv.mask,
             )
         return self._window_plans[key]
 
     def use_block_resident(self) -> bool:
-        # "auto" == the hybrid fast path when a grid extent is known
-        # (ME-style: the fastest conv path needs no opt-in): block-resident
-        # levels everywhere, except stride-1 k3 convs which ride the
-        # windowed gather (see use_window_s1). "block_resident" pins the
-        # pure block path. The overflow/escape guards fail loud on
-        # misconfigured caps/window sizes.
+        # "block_resident" pins the pure block-dense path (kept for
+        # workloads whose occupancy favors dense 4^3 tiles). The "auto"
+        # default resolves to the fully-windowed path (use_window_full).
         return (
-            self.method in ("auto", "hybrid", "block_resident")
-            and self.grid_extent is not None
+            self.method == "block_resident" and self.grid_extent is not None
         )
 
-    def use_window_s1(self) -> bool:
-        """Hybrid routing: stride-1 k3 convs use the windowed gather conv.
-
-        At the finest level valid rows ≈ capacity, so the FLOP-proportional
-        window conv wins big (measured f+b 8.3 ms vs 28.3 ms for the
-        block halo conv at 64k rows / C=96); at coarser levels most of the
-        fixed capacity is padding and the block layout (whose size tracks
-        the live block count) stays ahead."""
+    def use_window_full(self) -> bool:
+        """The fast default (method "auto"/"hybrid" with a configured
+        grid_extent): EVERY conv rides sorted-key windowed gathers —
+        stride-preserving k3 convs at every level (per-level row caps keep
+        the work proportional to live rows), k2/k1 stride-2 down convs and
+        k2 transpose up convs as cross-set window plans. No block layouts,
+        no grid kernel maps anywhere on this path (see ROADMAP round-3
+        measurements). Escape/cap guards NaN-poison on misconfiguration
+        (fail loud)."""
         return (
             self.method in ("auto", "hybrid")
             and self.grid_extent is not None
@@ -243,8 +287,29 @@ class CoordinateContext:
     def strided(self, sv: SparseVoxels, stride: int) -> SparseVoxels:
         key = (id(sv.coords), sv.stride, stride)
         if key not in self._strided:
-            self._strided[key] = kernels.stride_coords(sv, stride)
+            out, lost = kernels.stride_coords_capped(
+                sv, stride, self.level_cap(sv.stride * stride)
+            )
+            self._strided[key] = out
+            self._level_overflow[id(out.coords)] = lost
         return self._strided[key]
+
+    def level_cap(self, stride: int) -> int | None:
+        """Row capacity for the level at absolute tensor stride ``stride``."""
+        if self.level_caps is None:
+            return None
+        level = max(0, int(round(float(np.log2(max(stride, 1))))))
+        return int(self.level_caps[min(level, len(self.level_caps) - 1)])
+
+    def level_poison(self, coords, feats):
+        """NaN-poison ``feats`` if the level at ``coords`` overflowed its
+        row cap (valid coordinates were sliced off by level_caps) — the
+        fail-loud counterpart of BlockLayout.overflow."""
+        lost = self._level_overflow.get(id(coords))
+        if lost is None or not self.overflow_guard:
+            return feats
+        scale = jnp.where(lost > 0, jnp.float32(jnp.nan), jnp.float32(1.0))
+        return feats * scale.astype(feats.dtype)
 
     def _use_grid(self) -> bool:
         return self.method != "search" and self.grid_extent is not None

@@ -67,15 +67,43 @@ def stride_coords(sv: SparseVoxels, stride: int) -> SparseVoxels:
     Returns a SparseVoxels with the same capacity, features all-zero (the
     caller computes them), coordinates at tensor stride ``sv.stride*stride``.
     """
+    out, _ = stride_coords_capped(sv, stride, cap=None)
+    return out
+
+
+def stride_coords_capped(
+    sv: SparseVoxels, stride: int, cap: int | None
+) -> tuple[SparseVoxels, jax.Array]:
+    """``stride_coords`` with a per-level row capacity.
+
+    Coarser levels of surface-shell data hold ~4x fewer occupied voxels per
+    stride doubling (measured 62k/16k/4k/1k/0.3k rows at strides 1..16 on
+    the bench workload), so carrying the finest level's static capacity
+    through every level wastes capacity-proportional work in every op that
+    touches the level. ``unique_coords`` packs unique entries at the front
+    in key order, so capping is a slice; ``lost`` counts valid coordinates
+    beyond the cap (the caller NaN-poisons the level's features when
+    lost > 0 — fail loud, never train on a silently-truncated level, same
+    contract as block-cap overflow / window escapes).
+    """
     new_stride = sv.stride * stride
     xyz = (sv.coords[:, 1:] // new_stride) * new_stride
     coords = jnp.concatenate([sv.coords[:, :1], xyz], axis=1)
     uniq_coords, uniq_mask, _ = unique_coords(coords, sv.mask)
-    return SparseVoxels(
-        coords=uniq_coords,
-        feats=jnp.zeros((sv.capacity, 0), sv.feats.dtype),
-        mask=uniq_mask,
-        stride=new_stride,
+    if cap is None or cap >= sv.capacity:
+        lost = jnp.zeros((), jnp.int32)
+    else:
+        lost = jnp.sum(uniq_mask[cap:].astype(jnp.int32))
+        uniq_coords = uniq_coords[:cap]
+        uniq_mask = uniq_mask[:cap]
+    return (
+        SparseVoxels(
+            coords=uniq_coords,
+            feats=jnp.zeros((uniq_coords.shape[0], 0), sv.feats.dtype),
+            mask=uniq_mask,
+            stride=new_stride,
+        ),
+        lost,
     )
 
 

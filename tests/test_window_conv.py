@@ -248,6 +248,172 @@ def test_plan_direct_matches_plan_from_map(rng):
     )
 
 
+def test_plan_direct_cross_set_down_and_transpose(rng):
+    """Cross-set window plans (table != query set): a k2/s2 down conv and
+    its k2 transpose match the kernel-map row conv, fwd and grads — the
+    machinery that removes block layouts from the hybrid path entirely."""
+    from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+    from nerf_downstream_tpu.sparse.kernels import stride_coords
+
+    sv = make_sorted_sv(rng, n=512, valid=400, c=8, extent=16)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    out_sv = stride_coords(sv, 2)
+    offs = kernel_offsets(2, 1)
+    km, inv = _maps(sv, out_sv, offs, ctx)
+    w = jnp.asarray(rng.normal(size=(8, 8, 6)).astype(np.float32) * 0.2)
+
+    # down: fine table, coarse queries — expanding map widens coverage
+    plan = build_plan_direct(
+        sv.coords, sv.mask, offs, tile=64, window=64, blocks=6,
+        out_coords=out_sv.coords, out_mask=out_sv.mask,
+    )
+    inv_plan = build_plan_direct(
+        out_sv.coords, out_sv.mask, offs, tile=128, window=64, blocks=4,
+        transpose=True, out_coords=sv.coords, out_mask=sv.mask,
+    )
+    assert int(plan.n_escaped) == 0 and int(inv_plan.n_escaped) == 0
+
+    def loss_win(feats, weights):
+        out = window_conv_apply(feats, plan, inv_plan, weights)
+        return jnp.sum(jnp.where(out_sv.mask[:, None], out, 0) ** 2)
+
+    def loss_row(feats, weights):
+        out = sparse_conv_apply(feats, km, weights, inv_map=inv)
+        return jnp.sum(jnp.where(out_sv.mask[:, None], out, 0) ** 2)
+
+    got = window_conv_apply(sv.feats, plan, inv_plan, w)
+    ref = sparse_conv_apply(sv.feats, km, w)
+    m = np.asarray(out_sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[m], np.asarray(ref)[m], rtol=1e-5, atol=1e-5
+    )
+    gw = jax.grad(loss_win, argnums=(0, 1))(sv.feats, w)
+    gr = jax.grad(loss_row, argnums=(0, 1))(sv.feats, w)
+    mi = np.asarray(sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(gw[0])[mi], np.asarray(gr[0])[mi], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-4
+    )
+
+    # transpose: coarse table feats -> fine outputs; inverse IS the down
+    # plan (same offsets array, flipped roles)
+    cfeats = jnp.asarray(rng.normal(size=(512, 6)).astype(np.float32))
+    km_t = ctx.kernel_map(
+        out_sv.coords, out_sv.mask, sv.coords, sv.mask, offs,
+        transpose=True, in_stride=out_sv.stride,
+    )
+    inv_t = ctx.kernel_map(
+        sv.coords, sv.mask, out_sv.coords, out_sv.mask, offs,
+        transpose=False, in_stride=sv.stride,
+    )
+    w_t = jnp.asarray(rng.normal(size=(8, 6, 5)).astype(np.float32) * 0.2)
+    plan_t = build_plan_direct(
+        out_sv.coords, out_sv.mask, offs, tile=128, window=64, blocks=4,
+        transpose=True, out_coords=sv.coords, out_mask=sv.mask,
+    )
+    invp_t = build_plan_direct(
+        sv.coords, sv.mask, offs, tile=64, window=64, blocks=6,
+        out_coords=out_sv.coords, out_mask=out_sv.mask,
+    )
+    ref_t = sparse_conv_apply(cfeats, km_t, w_t, inv_map=inv_t)
+    got_t = window_conv_apply(cfeats, plan_t, invp_t, w_t)
+    mf = np.asarray(sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(got_t)[mf], np.asarray(ref_t)[mf], rtol=1e-5, atol=1e-5
+    )
+
+    def loss_win_t(feats, weights):
+        out = window_conv_apply(feats, plan_t, invp_t, weights)
+        return jnp.sum(jnp.where(sv.mask[:, None], out, 0) ** 2)
+
+    def loss_row_t(feats, weights):
+        out = sparse_conv_apply(feats, km_t, weights, inv_map=inv_t)
+        return jnp.sum(jnp.where(sv.mask[:, None], out, 0) ** 2)
+
+    gw_t = jax.grad(loss_win_t, argnums=(0, 1))(cfeats, w_t)
+    gr_t = jax.grad(loss_row_t, argnums=(0, 1))(cfeats, w_t)
+    mc = np.asarray(out_sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(gw_t[0])[mc], np.asarray(gr_t[0])[mc],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gw_t[1]), np.asarray(gr_t[1]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_level_caps_truncation_poisons(rng):
+    """stride_coords_capped slices coarse levels to the configured cap;
+    a cap below the unique count reports lost rows and ctx.level_poison
+    NaNs the level's features (fail loud, never silent truncation)."""
+    from nerf_downstream_tpu.sparse.kernels import stride_coords_capped
+
+    sv = make_sorted_sv(rng, n=512, valid=400, c=4, extent=16)
+    out, lost = stride_coords_capped(sv, 2, cap=256)
+    n_unique = int(jnp.sum(stride_coords_capped(sv, 2, None)[0].mask))
+    assert out.capacity == 256
+    if n_unique > 256:
+        assert int(lost) == n_unique - 256
+    # generous cap: nothing lost, mask count preserved
+    out2, lost2 = stride_coords_capped(sv, 2, cap=512)
+    assert int(lost2) == 0 and int(jnp.sum(out2.mask)) == n_unique
+
+    ctx = CoordinateContext(
+        num_batches=2, grid_extent=32, level_caps=(512, 64),
+    )
+    tiny = ctx.strided(sv, 2)  # cap 64 — certainly overflows
+    assert tiny.capacity == 64
+    feats = jnp.ones((64, 3), jnp.float32)
+    poisoned = ctx.level_poison(tiny.coords, feats)
+    assert np.isnan(np.asarray(poisoned)).all()
+
+
+def test_model_forward_hybrid_level_caps_matches_row(rng):
+    """Full Res16UNet forward under the fully-windowed hybrid with
+    per-level row caps == row path (generous caps, zero loss)."""
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.models.interface import process_input
+
+    n, valid = 2048, 1800
+    pts = rng.integers(0, 24, (valid, 3)).astype(np.float32)
+    coords = np.zeros((n, 4), np.float32)
+    coords[:valid, 1:] = pts
+    coords[:valid, 0] = rng.integers(0, 2, valid)
+    feats = rng.normal(size=(n, 6)).astype(np.float32)
+    mask = np.arange(n) < valid
+    batch = {
+        "coordinates": coords, "features": feats, "mask": mask,
+        "labels": rng.integers(0, 5, n).astype(np.int32),
+    }
+
+    outs = {}
+    for method, extra in [
+        ("row", ""),
+        ("hybrid", "CoordinateContext.level_caps = (2048, 2048, 1024, 512, 512)\n"),
+    ]:
+        cfg.clear_config()
+        cfg.parse_config(
+            "CoordinateContext.grid_extent = 64\n"
+            f'CoordinateContext.method = "{method}"\n'
+            "CoordinateContext.window_tile = 128\n"
+            "CoordinateContext.window_size = 1024\n" + extra
+        )
+        model = get_model(
+            name="Res16UNet14", out_channel=5, num_batches=2,
+            planes=(8,) * 8,
+        )
+        field = process_input(batch)
+        variables = model.init(jax.random.PRNGKey(0), field, train=False)
+        out = model.apply(variables, field, train=False)
+        outs[method] = np.asarray(out)
+    assert np.isfinite(outs["hybrid"][mask]).all()
+    np.testing.assert_allclose(
+        outs["hybrid"][mask], outs["row"][mask], rtol=2e-4, atol=2e-4
+    )
+
+
 def test_match_pallas_interpret_matches_xla(rng, monkeypatch):
     """window_match_pallas (interpret mode) == the XLA find-based idx."""
     from jax.experimental.pallas import tpu as pltpu
