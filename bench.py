@@ -43,17 +43,18 @@ ITERS = 10
 
 # fully-windowed hybrid: per-level row caps from this workload's measured
 # occupied rows (62400/12832/2934/763/231 at strides 1..16) with ~15%
-# slack, rounded to window-tile multiples; window coverage = 4 x 256 =
-# 1024 rows (worst measured tile span 584 + 256 quantization). Both
-# guards (level-cap overflow, window escape) NaN-poison, so a throughput
-# number from a truncated run is impossible.
+# slack, rounded to window-tile multiples; window coverage = 6 x 128 =
+# 768 rows — the measured device-time frontier of escape-free configs
+# (ROADMAP window-kernel table: cov640 escapes, cov1024 +10% slower).
+# Both guards (level-cap overflow, window escape) NaN-poison, so a
+# throughput number from a truncated run is impossible.
 BLOCK_BINDINGS = (
     "CoordinateContext.grid_extent = 128\n"
     'CoordinateContext.method = "hybrid"\n'
     "CoordinateContext.level_caps = (65536, 14848, 3584, 1024, 512)\n"
     "CoordinateContext.window_tile = 256\n"
-    "CoordinateContext.window_size = 256\n"
-    "CoordinateContext.window_blocks = 4\n"
+    "CoordinateContext.window_size = 128\n"
+    "CoordinateContext.window_blocks = 6\n"
     "field_to_sparse.assume_unique = True\n"
 )
 
@@ -122,17 +123,28 @@ def bench_3d_train():
         state, mets = step(state, batch)
     jax.block_until_ready(state.params)
 
+    # dedupe-proof timing: keep EVERY step's metrics and materialize them
+    # inside the timed region — the relay cannot skip or cache an execution
+    # whose results are fetched (a plain chained loop measured 4.2 ms/step
+    # here, ~50x off; see ROADMAP measurement caution)
+    all_mets = []
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, mets = step(state, batch)
+        all_mets.append(mets)
+    losses = [float(np.asarray(m["loss"])) for m in all_mets]
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / ITERS
 
-    # honesty check: the overflow guard NaN-poisons truncated levels, so a
-    # finite loss certifies no block cap overflowed during the timed run
-    loss = float(np.asarray(mets["loss"]))
-    assert np.isfinite(loss), (
-        f"non-finite loss {loss}: block caps overflowed — throughput invalid"
+    # honesty checks: the overflow guard NaN-poisons truncated levels, so a
+    # finite loss certifies no cap overflowed / window escaped during the
+    # timed run; distinct losses certify ITERS real optimization steps ran
+    assert np.isfinite(losses).all(), (
+        f"non-finite loss {losses}: caps overflowed — throughput invalid"
+    )
+    assert len(set(losses)) == ITERS, (
+        f"only {len(set(losses))}/{ITERS} distinct step losses: executions "
+        "were deduped/skipped — throughput invalid"
     )
     return n_valid / dt, dt
 
@@ -159,13 +171,16 @@ def bench_eval_latency():
         for i in range(2):
             o = estep(state, dict(batch, features=feats + i * 1e-6))
         jax.block_until_ready(o[0])
+        # dedupe-proof: distinct inputs per iter AND every output fetched
+        outs = []
         t0 = time.perf_counter()
         for i in range(ITERS):
-            o = estep(state, dict(batch, features=feats + i * 1e-5))
-        jax.block_until_ready(o[0])
+            outs.append(estep(state, dict(batch, features=feats + i * 1e-5)))
+        sums = [float(np.asarray(jnp.sum(o[0]))) for o in outs]
         out[f"eval_{name}_ms"] = round(
             (time.perf_counter() - t0) / ITERS * 1e3, 2
         )
+        assert len(set(sums)) == ITERS, "eval executions deduped/skipped"
     cfg.clear_config()
     return out
 
@@ -197,12 +212,19 @@ def bench_2d(arch: str, batch: int = 128):
     for _ in range(3):
         state, mets = step(state, data)
     jax.block_until_ready(state.params)
+    # dedupe-proof: fetch every step's loss inside the timed region
     iters = 20
+    all_mets = []
     t0 = time.perf_counter()
     for _ in range(iters):
         state, mets = step(state, data)
+        all_mets.append(mets)
+    losses = [float(np.asarray(m["loss"])) for m in all_mets]
     jax.block_until_ready(state.params)
-    return batch / ((time.perf_counter() - t0) / iters)
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(losses).all()
+    assert len(set(losses)) == iters, "2d executions deduped/skipped"
+    return batch / dt
 
 
 def bench_input_pipeline(tmpdir: str):

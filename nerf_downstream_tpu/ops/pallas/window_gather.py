@@ -3,18 +3,30 @@
 The XLA formulation (ops/window_conv.py) materializes each offset's
 one-hot dispatch matrix in HBM — 27 * N * coverage bytes per conv, the
 dominant cost. Here the one-hot never exists outside VMEM: the grid
-streams (output-tile, offset-group) steps; per step the pipeline DMAs
+streams ONE step per output tile; per step the pipeline DMAs
 
-  - the tile's ``blocks`` aligned W-row feature blocks (the window),
+  - EVERY group's ``blocks`` aligned W-row feature blocks (the windows),
     driven by the scalar-prefetched ``starts`` table through BlockSpec
     index maps — no per-tile descriptor issue on the scalar core (the
-    round-2 dead end that killed per-block DMA gathers, 7.7 us/descriptor);
-  - the [M, T] in-window index block and the group's [M, C, Cout] weights;
+    round-2 dead end that killed per-block DMA gathers, 7.7 us/descriptor),
+    and per-grid-step overhead (DMA issue, semaphores, bubbles) amortized
+    over all G groups (a (tile, group) grid measured 20% slower end to end
+    at half the step count);
+  - the [G, T] anchor block, the [G, M, T] member-selection block, and
+    the full [G, M, C, Cout] weights (constant index map — fetched once
+    per call, not per tile);
 
-and the kernel generates onehot(idx) in registers, runs the gather as a
-[T, coverage] x [coverage, C] MXU matmul, and accumulates [T, C] x
-[C, Cout] into the revisited f32 output block (offset groups are the
-innermost, consecutive grid dimension).
+and the kernel builds ONE one-hot per group (against the anchor — the
+group's members occupy consecutive input ranks, see WindowPlan), runs the
+gather as a single [T, coverage] x [coverage, M*C] MXU matmul against M
+row-shifted copies of the window, selects each member's rows with cheap
+[T, C] masks, and applies the per-member weights into the revisited f32
+output block (offset groups are the innermost, consecutive grid
+dimension).
+
+Versus the per-member formulation this cuts the VPU dispatch work (the
+[T, coverage] compares that dominated kernel time at M=3) by ~3x and
+fuses the M gather matmuls into one wide one.
 
 Traffic per conv: windows blocks*N*C/tile-reuse bytes per group (vs
 27 * N * coverage one-hot bytes) — the arithmetic moves from HBM to the
@@ -33,85 +45,136 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _win_specs(window, c, blocks):
-    """``blocks`` aligned window-block specs driven by the starts table."""
+def _win_specs_all_groups(window, c, blocks, g_count):
+    """G x blocks window-block specs for the tile-per-step kernels: grid is
+    (nT,) and one step streams every group's window blocks together —
+    per-grid-step overhead (DMA issue, semaphores, pipeline bubbles)
+    amortizes over G groups instead of being paid G times per tile
+    (measured: halving grid steps cut whole-model device time 20%)."""
     return [
         pl.BlockSpec(
             (window, c),
             functools.partial(
-                lambda j, t, g, st: (st[g, t] // window + j, 0), j
+                lambda g, j, t, st: (st[g, t] // window + j, 0), g, j
             ),
             memory_space=pltpu.VMEM,
         )
+        for g in range(g_count)
         for j in range(blocks)
     ]
 
 
-def _fwd_kernel(m, compute_dtype, starts_ref, idx_ref, w_ref, *refs):
-    win_refs, out_ref = refs[:-1], refs[-1]
-    g = pl.program_id(1)
+def _gather_members(m, compute_dtype, anchor_row, sel_rows, win_refs):
+    """[T, C] member-gathered rows via ONE anchor one-hot matmul.
 
-    @pl.when(g == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    win = jnp.concatenate([r[:] for r in win_refs], axis=0)  # [coverage, C]
-    w2 = win.shape[0]
-    tile = idx_ref.shape[-1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, w2), 1)
-    acc = out_ref[:]
+    ``anchor_row`` [T], ``sel_rows`` [M, T] (arrays, already loaded).
+    win_shifts[:, s*C:(s+1)*C] is the window rolled up by s rows, so
+    column block s of the product holds win[anchor + s] — member m picks
+    block sel[m] per row. Roll wrap-around rows are never selected:
+    anchor + sel == idx < coverage by plan construction.
+    """
+    win = jnp.concatenate([r[:] for r in win_refs], axis=0)  # [cov, C]
+    cov, c = win.shape
+    tile = anchor_row.shape[-1]
+    win_shifts = jnp.concatenate(
+        [
+            win if s == 0
+            else jnp.concatenate([win[s:], win[:s]], axis=0)
+            for s in range(m)
+        ],
+        axis=1,
+    )  # [cov, M*C]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
+    anchor = anchor_row.reshape(tile, 1)
+    oh = (anchor == iota).astype(compute_dtype)
+    # Mosaic matmuls accumulate in f32 (bf16 acc is rejected); values are
+    # exact row selects either way
+    gall = jnp.dot(
+        oh, win_shifts, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)  # [T, M*C]
+    parts = []
     for j in range(m):
-        idx_j = idx_ref[0, 0, j, :].reshape(tile, 1)
-        oh = (idx_j == iota).astype(compute_dtype)
-        # Mosaic matmuls accumulate in f32 (bf16 acc is rejected); values
-        # are exact row selects either way
-        gathered = jnp.dot(
-            oh, win, preferred_element_type=jnp.float32
-        ).astype(compute_dtype)  # [T, C]
-        acc = acc + jnp.dot(
-            gathered, w_ref[0, j], preferred_element_type=jnp.float32
+        sel_j = sel_rows[j].reshape(tile, 1)
+        gm = jnp.zeros((tile, c), compute_dtype)
+        for s in range(m):
+            gm = gm + gall[:, s * c:(s + 1) * c] * (
+                sel_j == s
+            ).astype(compute_dtype)
+        parts.append(gm)
+    # kept as a per-member list: Mosaic cannot shape-cast [M, C, Cout]
+    # weights to [M*C, Cout], so the weight matmuls stay per-member
+    return parts  # M x [T, C]
+
+
+def _fwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+                sel_ref, w_ref, *refs):
+    win_refs, out_ref = refs[:-1], refs[-1]
+    tile = anchor_ref.shape[-1]
+    anchor_all = anchor_ref[:]  # [G, 1, 1, T]
+    sel_all = sel_ref[:]  # [G, 1, M, T]
+    acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+    for g in range(g_count):
+        parts = _gather_members(
+            m, compute_dtype,
+            anchor_all[g, 0, 0], sel_all[g, 0],
+            win_refs[g * blocks:(g + 1) * blocks],
         )
+        for j in range(m):
+            acc = acc + jnp.dot(
+                parts[j], w_ref[g, j], preferred_element_type=jnp.float32
+            )
     out_ref[:] = acc
 
 
-def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm, tile,
-                                window, compute_dtype, blocks=2):
-    """sum_{g,m} onehot(idx[g,m]) @ window_g @ w[g,m] -> [N_out, Cout] f32.
+def window_gather_matmul_pallas(feats_pad, starts, anchor, sel, w_perm,
+                                tile, window, compute_dtype, blocks=2):
+    """sum_{g,m} onehot(anchor+sel[g,m]) @ window_g @ w[g,m] -> [N, Cout].
 
     feats_pad [n_in + blocks*W, C] (compute dtype); starts int32[G, nT];
-    idx int32[G, M, N_out]; w_perm [G, M, C, Cout] (compute dtype).
+    anchor int32[G, N_out]; sel int32[G, M, N_out]; w_perm [G, M, C, Cout]
+    (compute dtype). Output f32. Grid is one step per output tile: all G
+    groups' windows stream in together and the weights live in VMEM for
+    the whole call.
     """
-    g_count, m, n_out = idx.shape
+    g_count, m, n_out = sel.shape
     nt = n_out // tile
     c = feats_pad.shape[1]
     cout = w_perm.shape[-1]
-    idx_p = idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    anchor_p = anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
+    sel_p = sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt, g_count),
+        grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, m, tile),
-                lambda t, g, st: (g, t, 0, 0),
+                (g_count, 1, 1, tile),
+                lambda t, st: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, m, c, cout),
-                lambda t, g, st: (g, 0, 0, 0),
+                (g_count, 1, m, tile),
+                lambda t, st: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            *_win_specs(window, c, blocks),
+            pl.BlockSpec(
+                (g_count, m, c, cout),
+                lambda t, st: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *_win_specs_all_groups(window, c, blocks, g_count),
         ],
         out_specs=pl.BlockSpec(
-            (tile, cout), lambda t, g, st: (t, 0),
+            (tile, cout), lambda t, st: (t, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     w2 = blocks * window
-    flops = 2 * g_count * m * (n_out * w2 * c + n_out * c * cout)
+    flops = 2 * g_count * (n_out * w2 * m * c + n_out * m * c * cout)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, m, compute_dtype),
+        functools.partial(
+            _fwd_kernel, g_count, m, blocks, compute_dtype
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -119,24 +182,31 @@ def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm, tile,
             bytes_accessed=blocks * n_out * c * g_count + n_out * cout * 4,
             transcendentals=0,
         ),
-    )(starts, idx_p, w_perm, *([feats_pad] * blocks))
+    )(starts, anchor_p, sel_p, w_perm, *([feats_pad] * g_count * blocks))
 
 
-def _match_kernel(m, blocks, starts_ref, qh_ref, ql_ref, *refs):
-    hi_refs = refs[:blocks]
-    lo_refs = refs[blocks:2 * blocks]
+def _match_kernel(g_count, m, blocks, starts_ref, qh_ref, ql_ref, *refs):
+    hi_refs = refs[:g_count * blocks]
+    lo_refs = refs[g_count * blocks:2 * g_count * blocks]
     idx_ref = refs[-1]
-    win_hi = jnp.concatenate([r[:] for r in hi_refs], axis=0)  # [cov, 1]
-    win_lo = jnp.concatenate([r[:] for r in lo_refs], axis=0)
-    w2 = win_hi.shape[0]
     tile = qh_ref.shape[-1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (w2, tile), 0)
-    for j in range(m):
-        qh = qh_ref[0, 0, j, :].reshape(1, tile)
-        ql = ql_ref[0, 0, j, :].reshape(1, tile)
-        match = (win_hi == qh) & (win_lo == ql)  # [cov, T]
-        # keys are unique, so <=1 match per column; -1 where none
-        idx_ref[0, 0, j, :] = jnp.max(jnp.where(match, iota, -1), axis=0)
+    qh_all = qh_ref[:]  # [G, 1, M, T]
+    ql_all = ql_ref[:]
+    for g in range(g_count):
+        win_hi = jnp.concatenate(
+            [r[:] for r in hi_refs[g * blocks:(g + 1) * blocks]], axis=0
+        )  # [cov, 1]
+        win_lo = jnp.concatenate(
+            [r[:] for r in lo_refs[g * blocks:(g + 1) * blocks]], axis=0
+        )
+        w2 = win_hi.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (w2, tile), 0)
+        for j in range(m):
+            qh = qh_all[g, 0, j].reshape(1, tile)
+            ql = ql_all[g, 0, j].reshape(1, tile)
+            match = (win_hi == qh) & (win_lo == ql)  # [cov, T]
+            # keys are unique, so <=1 match per column; -1 where none
+            idx_ref[g, 0, j, :] = jnp.max(jnp.where(match, iota, -1), axis=0)
 
 
 def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
@@ -164,28 +234,28 @@ def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt, g_count),
+        grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, m, tile),
-                lambda t, g, st: (g, t, 0, 0),
+                (g_count, 1, m, tile),
+                lambda t, st: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, m, tile),
-                lambda t, g, st: (g, t, 0, 0),
+                (g_count, 1, m, tile),
+                lambda t, st: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            *_win_specs(window, 1, blocks),
-            *_win_specs(window, 1, blocks),
+            *_win_specs_all_groups(window, 1, blocks, g_count),
+            *_win_specs_all_groups(window, 1, blocks, g_count),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, m, tile), lambda t, g, st: (g, t, 0, 0),
+            (g_count, 1, m, tile), lambda t, st: (0, t, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     idx_p = pl.pallas_call(
-        functools.partial(_match_kernel, m, blocks),
+        functools.partial(_match_kernel, g_count, m, blocks),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_count, nt, m, tile), jnp.int32),
         cost_estimate=pl.CostEstimate(
@@ -195,84 +265,82 @@ def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
         ),
     )(
         starts, qh_p, ql_p,
-        *([hi_pad] * blocks), *([lo_pad] * blocks),
+        *([hi_pad] * g_count * blocks), *([lo_pad] * g_count * blocks),
     )
     return idx_p.transpose(0, 2, 1, 3).reshape(g_count, m, n_out)
 
 
-def _dw_kernel(m, compute_dtype, starts_ref, idx_ref, gout_ref, *refs):
+def _dw_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+               sel_ref, gout_ref, *refs):
     win_refs, dw_ref = refs[:-1], refs[-1]
-    t = pl.program_id(1)
+    t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    win = jnp.concatenate([r[:] for r in win_refs], axis=0)
-    w2 = win.shape[0]
-    tile = idx_ref.shape[-1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, w2), 1)
+    anchor_all = anchor_ref[:]  # [G, 1, 1, T]
+    sel_all = sel_ref[:]  # [G, 1, M, T]
     gout = gout_ref[:]  # [T, Cout]
-    for j in range(m):
-        idx_j = idx_ref[0, 0, j, :].reshape(tile, 1)
-        oh = (idx_j == iota).astype(compute_dtype)
-        gathered = jnp.dot(
-            oh, win, preferred_element_type=jnp.float32
-        ).astype(compute_dtype)  # [T, C]
-        # [C, Cout] = gathered^T @ gout
-        dw_ref[0, j] = dw_ref[0, j] + jax.lax.dot_general(
-            gathered, gout,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    for g in range(g_count):
+        parts = _gather_members(
+            m, compute_dtype,
+            anchor_all[g, 0, 0], sel_all[g, 0],
+            win_refs[g * blocks:(g + 1) * blocks],
         )
+        for j in range(m):
+            # [C, Cout] = gathered_j^T @ gout
+            dw_ref[g, j] = dw_ref[g, j] + jax.lax.dot_general(
+                parts[j], gout,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
 
-def window_dw_pallas(feats_pad, starts, idx, g_out, tile, window,
+def window_dw_pallas(feats_pad, starts, anchor, sel, g_out, tile, window,
                      compute_dtype, blocks=2):
-    """d_w[g, m] = gathered[g, m]^T @ g_out -> [G, M, C, Cout] f32."""
-    g_count, m, n_out = idx.shape
+    """d_w[g, m] = gathered[g, m]^T @ g_out -> [G, M, C, Cout] f32.
+
+    One grid step per tile (see window_gather_matmul_pallas); the [G, M,
+    C, Cout] accumulator block is revisited every step.
+    """
+    g_count, m, n_out = sel.shape
     nt = n_out // tile
     c = feats_pad.shape[1]
     cout = g_out.shape[-1]
-    idx_p = idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
-
-    def _dw_win_specs():
-        return [
-            pl.BlockSpec(
-                (window, c),
-                functools.partial(
-                    lambda j, g, t, st: (st[g, t] // window + j, 0), j
-                ),
-                memory_space=pltpu.VMEM,
-            )
-            for j in range(blocks)
-        ]
+    anchor_p = anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
+    sel_p = sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(g_count, nt),
+        grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, m, tile),
-                lambda g, t, st: (g, t, 0, 0),
+                (g_count, 1, 1, tile),
+                lambda t, st: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile, cout), lambda g, t, st: (t, 0),
+                (g_count, 1, m, tile),
+                lambda t, st: (0, t, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            *_dw_win_specs(),
+            pl.BlockSpec(
+                (tile, cout), lambda t, st: (t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *_win_specs_all_groups(window, c, blocks, g_count),
         ],
         out_specs=pl.BlockSpec(
-            (1, m, c, cout), lambda g, t, st: (g, 0, 0, 0),
+            (g_count, m, c, cout), lambda t, st: (0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     return pl.pallas_call(
-        functools.partial(_dw_kernel, m, compute_dtype),
+        functools.partial(_dw_kernel, g_count, m, blocks, compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_count, m, c, cout), jnp.float32),
     )(
-        starts, idx_p, g_out.astype(compute_dtype),
-        *([feats_pad] * blocks),
+        starts, anchor_p, sel_p, g_out.astype(compute_dtype),
+        *([feats_pad] * g_count * blocks),
     )

@@ -52,10 +52,22 @@ class WindowPlan:
     g.  ``idx[g, m, i]``: in-window index of output row i's neighbor under
     group-member m (-1 = no neighbor / escaped).  ``n_escaped``: valid
     entries whose neighbor fell outside [start, start+W) — must be 0.
+
+    ``anchor[g, i]`` / ``sel[g, m, i]``: the dispatch-compressed form the
+    conv kernels consume. Group members differ only in dz — the fastest
+    sort key — so a group's valid neighbors occupy CONSECUTIVE input ranks
+    (nothing sorts between (x,y,z) and (x,y,z+1)): anchor is the first
+    valid member's in-window rank (-1 if none) and sel[m] = idx[m] - anchor
+    ∈ [0, M) (-1 if absent). One one-hot compare per GROUP (against anchor)
+    plus M cheap row-mask selections replace M full one-hot compares — the
+    kernels' dominant VPU cost. Rows violating the consecutive-rank
+    invariant (duplicate keys) are counted into ``n_escaped``.
     """
 
     starts: jax.Array  # int32[G, nT]
     idx: jax.Array  # int32[G, M, N_out]
+    anchor: jax.Array  # int32[G, N_out]
+    sel: jax.Array  # int32[G, M, N_out]
     n_escaped: jax.Array  # int32 scalar
     perm: tuple = flax.struct.field(pytree_node=False, default=())
     tile: int = flax.struct.field(pytree_node=False, default=256)
@@ -81,6 +93,24 @@ def group_offsets(offsets: np.ndarray) -> tuple[tuple[int, ...], ...]:
     sizes = {len(g) for g in groups}
     assert len(sizes) == 1, f"non-uniform offset groups: {groups}"
     return groups
+
+
+def _derive_anchor_sel(idx: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(anchor, sel, n_bad) from in-window indices idx int32[G, M, N].
+
+    anchor[g, i] = min valid idx over members (-1 if none); sel[g, m, i] =
+    idx - anchor for valid entries (-1 otherwise). Sortedness guarantees
+    sel < M; ``n_bad`` counts violations (duplicate keys) for the poison
+    guard.
+    """
+    g, m, n = idx.shape
+    valid = idx >= 0
+    big = jnp.int32(1 << 30)
+    anchor = jnp.min(jnp.where(valid, idx, big), axis=1)  # [G, N]
+    anchor = jnp.where(anchor == big, -1, anchor).astype(jnp.int32)
+    sel = jnp.where(valid, idx - anchor[:, None, :], -1).astype(jnp.int32)
+    n_bad = jnp.sum((valid & ((sel < 0) | (sel >= m))).astype(jnp.int32))
+    return anchor, sel, n_bad
 
 
 def build_plan(
@@ -134,10 +164,13 @@ def build_plan(
     in_win = valid & (rel >= 0) & (rel < blocks * window)
     n_escaped = jnp.sum((valid & ~in_win).astype(jnp.int32))
     idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+    anchor, sel, n_bad = _derive_anchor_sel(idx)
     return WindowPlan(
         starts=starts,
         idx=idx,
-        n_escaped=n_escaped,
+        anchor=anchor,
+        sel=sel,
+        n_escaped=n_escaped + n_bad,
         perm=perm,
         tile=tile,
         window=window,
@@ -271,10 +304,13 @@ def build_plan_direct(
         )
         in_win = (pos < n_in) & (rel >= 0) & (rel < blocks * window)
         idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+    anchor, sel, n_bad = _derive_anchor_sel(idx)
     return WindowPlan(
         starts=starts,
         idx=idx,
-        n_escaped=n_escaped,
+        anchor=anchor,
+        sel=sel,
+        n_escaped=n_escaped + n_bad,
         perm=perm,
         tile=tile,
         window=window,
@@ -294,16 +330,18 @@ def _use_pallas() -> bool:
         return False
 
 
-def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
-                          compute_dtype, blocks=2):
-    """sum over (g, m) of onehot(idx[g, m]) @ window_g @ w[g, m]; f32 acc.
+def _window_gather_matmul(feats_pad, starts, anchor, sel, w_perm, tile,
+                          window, compute_dtype, blocks=2):
+    """sum over (g, m) of onehot(anchor+sel[g, m]) @ window_g @ w[g, m].
 
-    feats_pad: [n_in + blocks*window, C]; starts [G, nT]; idx [G, M, N];
-    w_perm [G, M, C, Cout]. On TPU the Pallas kernel generates the one-hot
-    in VMEM (ops/pallas/window_gather.py); the XLA fallback materializes it
-    (CPU tests / NDT_WINDOW_PALLAS=0). One lax.scan over groups keeps the
-    compiled program size O(1) in K (round-2 lesson: 18 conv subgraphs cost
-    170 s of compile).
+    feats_pad: [n_in + blocks*window, C]; starts [G, nT]; anchor [G, N];
+    sel [G, M, N]; w_perm [G, M, C, Cout]; f32 accumulation. On TPU the
+    Pallas kernel builds ONE anchor one-hot per group in VMEM and selects
+    members among M row-shifted windows (ops/pallas/window_gather.py); the
+    XLA fallback reconstructs per-member indices and materializes the
+    one-hot (CPU tests / NDT_WINDOW_PALLAS=0). One lax.scan over groups
+    keeps the compiled program size O(1) in K (round-2 lesson: 18 conv
+    subgraphs cost 170 s of compile).
     """
     if _use_pallas():
         from nerf_downstream_tpu.ops.pallas.window_gather import (
@@ -311,9 +349,10 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
         )
 
         return window_gather_matmul_pallas(
-            feats_pad, starts, idx, w_perm.astype(compute_dtype),
+            feats_pad, starts, anchor, sel, w_perm.astype(compute_dtype),
             tile, window, compute_dtype, blocks,
         )
+    idx = jnp.where(sel >= 0, anchor[:, None, :] + sel, -1)
     g_count, nt = starts.shape
     n_out = idx.shape[2]
     c = feats_pad.shape[1]
@@ -352,8 +391,8 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile, window,
     return acc
 
 
-def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype,
-               blocks=2):
+def _window_dw(feats_pad, starts, anchor, sel, g_out, tile, window,
+               compute_dtype, blocks=2):
     """d_w[g, m] = gathered[g, m]^T @ g_out (forward gathers recomputed)."""
     if _use_pallas():
         from nerf_downstream_tpu.ops.pallas.window_gather import (
@@ -361,9 +400,10 @@ def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype,
         )
 
         return window_dw_pallas(
-            feats_pad, starts, idx, g_out, tile, window, compute_dtype,
-            blocks,
+            feats_pad, starts, anchor, sel, g_out, tile, window,
+            compute_dtype, blocks,
         )
+    idx = jnp.where(sel >= 0, anchor[:, None, :] + sel, -1)
     g_count, nt = starts.shape
     n_out = idx.shape[2]
     c = feats_pad.shape[1]
@@ -396,26 +436,33 @@ def _window_dw(feats_pad, starts, idx, g_out, tile, window, compute_dtype,
     return d_w  # [G, M, C, Cout]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _window_conv_core(feats_pad, starts, idx, inv_starts, inv_idx, tile,
-                      inv_tile, window, compute_dtype, blocks, inv_blocks,
-                      w_perm):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _window_conv_core(feats_pad, starts, anchor, sel, inv_starts,
+                      inv_anchor, inv_sel, tile, inv_tile, window,
+                      compute_dtype, blocks, inv_blocks, w_perm):
     return _window_gather_matmul(
-        feats_pad, starts, idx, w_perm, tile, window, compute_dtype, blocks
+        feats_pad, starts, anchor, sel, w_perm, tile, window, compute_dtype,
+        blocks,
     )
 
 
-def _core_fwd(feats_pad, starts, idx, inv_starts, inv_idx, tile, inv_tile,
-              window, compute_dtype, blocks, inv_blocks, w_perm):
+def _core_fwd(feats_pad, starts, anchor, sel, inv_starts, inv_anchor,
+              inv_sel, tile, inv_tile, window, compute_dtype, blocks,
+              inv_blocks, w_perm):
     out = _window_gather_matmul(
-        feats_pad, starts, idx, w_perm, tile, window, compute_dtype, blocks
+        feats_pad, starts, anchor, sel, w_perm, tile, window, compute_dtype,
+        blocks,
     )
-    return out, (feats_pad, starts, idx, inv_starts, inv_idx, w_perm)
+    return out, (
+        feats_pad, starts, anchor, sel, inv_starts, inv_anchor, inv_sel,
+        w_perm,
+    )
 
 
 def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
               res, g):
-    feats_pad, starts, idx, inv_starts, inv_idx, w_perm = res
+    (feats_pad, starts, anchor, sel, inv_starts, inv_anchor, inv_sel,
+     w_perm) = res
     n_pad, cin = feats_pad.shape
     n_in = n_pad - blocks * window
     gc = g.astype(compute_dtype)
@@ -427,16 +474,17 @@ def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
     # channel-transposed weights. Gather-only backward.
     w_t = jnp.swapaxes(w_perm, -1, -2)
     d_in = _window_gather_matmul(
-        g_pad, inv_starts, inv_idx, w_t, inv_tile, window, compute_dtype,
-        inv_blocks,
+        g_pad, inv_starts, inv_anchor, inv_sel, w_t, inv_tile, window,
+        compute_dtype, inv_blocks,
     )[:n_in]
     d_feats = jnp.concatenate(
         [d_in, jnp.zeros((blocks * window, cin), d_in.dtype)], axis=0
     ).astype(feats_pad.dtype)
     d_w = _window_dw(
-        feats_pad, starts, idx, gc, tile, window, compute_dtype, blocks
+        feats_pad, starts, anchor, sel, gc, tile, window, compute_dtype,
+        blocks,
     ).astype(w_perm.dtype)
-    return d_feats, None, None, None, None, d_w
+    return d_feats, None, None, None, None, None, None, d_w
 
 
 _window_conv_core.defvjp(_core_fwd, _core_bwd)
@@ -463,7 +511,7 @@ def window_conv_apply(
     # have been built with the same offsets array (same group permutation)
     assert plan.perm == inv_plan.perm, (plan.perm, inv_plan.perm)
     n_in, cin = feats.shape
-    g_count, m, _ = plan.idx.shape
+    g_count, m, _ = plan.sel.shape
     feats_pad = jnp.concatenate(
         [feats, jnp.zeros((plan.blocks * plan.window, cin), feats.dtype)],
         axis=0,
@@ -474,9 +522,9 @@ def window_conv_apply(
     # the inverse plan's groups order offsets by the NEGATED offsets'
     # (dx, dy); pair weights by the inverse plan's own permutation
     out = _window_conv_core(
-        feats_pad, plan.starts, plan.idx, inv_plan.starts, inv_plan.idx,
-        plan.tile, inv_plan.tile, plan.window, compute_dtype,
-        plan.blocks, inv_plan.blocks, w,
+        feats_pad, plan.starts, plan.anchor, plan.sel, inv_plan.starts,
+        inv_plan.anchor, inv_plan.sel, plan.tile, inv_plan.tile,
+        plan.window, compute_dtype, plan.blocks, inv_plan.blocks, w,
     )
     if guard:
         # fail loud on window escapes (cf. block-cap overflow poison):

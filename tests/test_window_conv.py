@@ -450,6 +450,36 @@ def test_match_pallas_interpret_matches_xla(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(plan.idx))
 
 
+@pytest.mark.quick
+def test_anchor_sel_consistent_with_idx(rng):
+    """The dispatch-compressed (anchor, sel) form must reproduce idx
+    exactly: a group's valid members occupy consecutive input ranks (the
+    sorted-key invariant the single-one-hot kernel relies on)."""
+    from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+    from nerf_downstream_tpu.sparse.kernels import stride_coords
+
+    sv = make_sorted_sv(rng, n=1024, valid=900, c=4, extent=20)
+    out_sv = stride_coords(sv, 2)
+    cases = [
+        build_plan_direct(sv.coords, sv.mask, kernel_offsets(3, 1),
+                          tile=128, window=256),
+        build_plan_direct(sv.coords, sv.mask, kernel_offsets(3, 1),
+                          tile=128, window=256, transpose=True),
+        build_plan_direct(sv.coords, sv.mask, kernel_offsets(2, 1),
+                          tile=64, window=64, blocks=6,
+                          out_coords=out_sv.coords, out_mask=out_sv.mask),
+    ]
+    for plan in cases:
+        assert int(plan.n_escaped) == 0
+        idx = np.asarray(plan.idx)
+        anchor = np.asarray(plan.anchor)
+        sel = np.asarray(plan.sel)
+        m = idx.shape[1]
+        rebuilt = np.where(sel >= 0, anchor[:, None, :] + sel, -1)
+        np.testing.assert_array_equal(rebuilt, idx)
+        assert sel.max() < m
+
+
 def test_escape_poisons(rng):
     """A window too small for the data must NaN-poison, never truncate."""
     sv = make_sorted_sv(rng, n=512, valid=480, c=4, extent=12)
@@ -491,13 +521,13 @@ def test_pallas_kernels_match_xla(rng, monkeypatch):
     )
 
     ref = wc._window_gather_matmul(
-        feats_pad, plan.starts, plan.idx, w_perm, plan.tile, plan.window,
-        jnp.float32,
+        feats_pad, plan.starts, plan.anchor, plan.sel, w_perm, plan.tile,
+        plan.window, jnp.float32,
     )
     with pltpu.force_tpu_interpret_mode():
         got = window_gather_matmul_pallas(
-            feats_pad, plan.starts, plan.idx, w_perm, plan.tile,
-            plan.window, jnp.float32,
+            feats_pad, plan.starts, plan.anchor, plan.sel, w_perm,
+            plan.tile, plan.window, jnp.float32,
         )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
@@ -505,12 +535,12 @@ def test_pallas_kernels_match_xla(rng, monkeypatch):
 
     g_out = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
     ref_dw = wc._window_dw(
-        feats_pad, plan.starts, plan.idx, g_out, plan.tile, plan.window,
-        jnp.float32,
+        feats_pad, plan.starts, plan.anchor, plan.sel, g_out, plan.tile,
+        plan.window, jnp.float32,
     )
     with pltpu.force_tpu_interpret_mode():
         got_dw = window_dw_pallas(
-            feats_pad, plan.starts, plan.idx, g_out, plan.tile,
+            feats_pad, plan.starts, plan.anchor, plan.sel, g_out, plan.tile,
             plan.window, jnp.float32,
         )
     np.testing.assert_allclose(
