@@ -123,16 +123,27 @@ def bench_3d_train():
         state, mets = step(state, batch)
     jax.block_until_ready(state.params)
 
-    # dedupe-proof timing: keep EVERY step's metrics and materialize them
-    # inside the timed region — the relay cannot skip or cache an execution
-    # whose results are fetched (a plain chained loop measured 4.2 ms/step
-    # here, ~50x off; see ROADMAP measurement caution)
-    all_mets = []
+    # ITERS steps inside ONE jitted lax.scan: a single dispatch and a
+    # single stacked-loss fetch, so the tunnel RTT (50-250 ms/call under
+    # relay congestion, the machinery real TPU-attached hosts don't have)
+    # amortizes 1/ITERS. Also dedupe-proof: one execution, and the
+    # per-step losses come back stacked for the honesty checks below
+    # (a plain chained host loop measured 4.2 ms/step for a 114 ms
+    # program here — see ROADMAP measurement caution).
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(s):
+        def body(carry, _):
+            carry, mets = step(carry, batch)
+            return carry, mets["loss"]
+
+        return jax.lax.scan(body, s, None, length=ITERS)
+
+    state, _ = multi_step(state)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, mets = step(state, batch)
-        all_mets.append(mets)
-    losses = [float(np.asarray(m["loss"])) for m in all_mets]
+    state, losses_dev = multi_step(state)
+    losses = np.asarray(losses_dev)
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / ITERS
 
@@ -142,9 +153,9 @@ def bench_3d_train():
     assert np.isfinite(losses).all(), (
         f"non-finite loss {losses}: caps overflowed — throughput invalid"
     )
-    assert len(set(losses)) == ITERS, (
-        f"only {len(set(losses))}/{ITERS} distinct step losses: executions "
-        "were deduped/skipped — throughput invalid"
+    assert len(set(losses.tolist())) == ITERS, (
+        f"only {len(set(losses.tolist()))}/{ITERS} distinct step losses: "
+        "executions were deduped/skipped — throughput invalid"
     )
     return n_valid / dt, dt
 

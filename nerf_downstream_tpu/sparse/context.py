@@ -45,6 +45,7 @@ class CoordinateContext:
         window_size: int = 512,
         window_blocks: int = 2,
         level_caps: tuple | None = None,
+        level_cap_decay: float | None = None,
     ):
         # grid_extent is configured per dataset (coordinate span in finest
         # voxel units, e.g. ``CoordinateContext.grid_extent = 320`` for
@@ -85,6 +86,13 @@ class CoordinateContext:
         # exceed its cap NaN-poisons that level's features (fail loud,
         # same contract as block-cap overflow / window escapes).
         self.level_caps = level_caps
+        # fraction-based alternative to absolute level_caps: each stride
+        # doubling caps the level at ceil(decay * input capacity) rounded
+        # up to a window_tile multiple. Surface shells thin ~4x per
+        # doubling, so 0.5 carries ~2x slack; random/volumetric data does
+        # NOT thin like that — only bind this for shell-like datasets (the
+        # overflow guard NaN-poisons loudly on a bad fit).
+        self.level_cap_decay = level_cap_decay
         self._window_plans: dict = {}
         self._kmaps: dict = {}
         self._strided: dict = {}
@@ -288,18 +296,38 @@ class CoordinateContext:
         key = (id(sv.coords), sv.stride, stride)
         if key not in self._strided:
             out, lost = kernels.stride_coords_capped(
-                sv, stride, self.level_cap(sv.stride * stride)
+                sv, stride,
+                self.level_cap(sv.stride * stride, sv.capacity, sv.stride),
             )
             self._strided[key] = out
             self._level_overflow[id(out.coords)] = lost
         return self._strided[key]
 
-    def level_cap(self, stride: int) -> int | None:
-        """Row capacity for the level at absolute tensor stride ``stride``."""
-        if self.level_caps is None:
-            return None
-        level = max(0, int(round(float(np.log2(max(stride, 1))))))
-        return int(self.level_caps[min(level, len(self.level_caps) - 1)])
+    def level_cap(
+        self, stride: int, in_capacity: int | None = None,
+        in_stride: int = 1,
+    ) -> int | None:
+        """Row capacity for the level at absolute tensor stride ``stride``.
+
+        Absolute ``level_caps`` win; otherwise ``level_cap_decay`` derives
+        the cap from the input level's capacity (``in_capacity`` at
+        ``in_stride``): decay per stride doubling, rounded up to a
+        window_tile multiple so window plans keep whole tiles.
+        """
+        if self.level_caps is not None:
+            level = max(0, int(round(float(np.log2(max(stride, 1))))))
+            return int(self.level_caps[min(level, len(self.level_caps) - 1)])
+        if self.level_cap_decay is not None and in_capacity is not None:
+            doublings = max(
+                0,
+                int(round(float(np.log2(max(stride, 1)))))
+                - int(round(float(np.log2(max(in_stride, 1))))),
+            )
+            cap = int(in_capacity * self.level_cap_decay ** doublings)
+            tile = self.window_tile
+            cap = max(tile, ((cap + tile - 1) // tile) * tile)
+            return min(cap, in_capacity)
+        return None
 
     def level_poison(self, coords, feats):
         """NaN-poison ``feats`` if the level at ``coords`` overflowed its

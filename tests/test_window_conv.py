@@ -370,6 +370,38 @@ def test_level_caps_truncation_poisons(rng):
     assert np.isnan(np.asarray(poisoned)).all()
 
 
+@pytest.mark.quick
+def test_level_cap_decay_derivation(rng):
+    """level_cap_decay derives per-level caps from the input capacity:
+    0.5x per stride doubling, rounded up to window_tile multiples, floored
+    at one tile — and absolute level_caps always win."""
+    ctx = CoordinateContext(
+        num_batches=2, grid_extent=64, window_tile=256, level_cap_decay=0.5,
+    )
+    assert ctx.level_cap(2, in_capacity=65536, in_stride=1) == 32768
+    assert ctx.level_cap(4, in_capacity=32768, in_stride=2) == 16384
+    # rounding up to a tile multiple
+    assert ctx.level_cap(2, in_capacity=1000, in_stride=1) == 512
+    # floor: one tile
+    assert ctx.level_cap(16, in_capacity=512, in_stride=1) == 256
+    # no shrink past the input capacity
+    assert ctx.level_cap(2, in_capacity=128, in_stride=1) == 128
+    # absolute caps win over decay
+    ctx2 = CoordinateContext(
+        num_batches=2, grid_extent=64, level_caps=(4096, 1024),
+        level_cap_decay=0.5,
+    )
+    assert ctx2.level_cap(2, in_capacity=65536, in_stride=1) == 1024
+    # end to end: strided() derives the cap and records any overflow
+    from nerf_downstream_tpu.sparse.kernels import stride_coords_capped
+
+    sv = make_sorted_sv(rng, n=512, valid=400, c=4, extent=16)
+    out = ctx.strided(sv, 2)
+    assert out.capacity == 256
+    n_unique = int(jnp.sum(stride_coords_capped(sv, 2, None)[0].mask))
+    assert int(ctx._level_overflow[id(out.coords)]) == max(0, n_unique - 256)
+
+
 def test_model_forward_hybrid_level_caps_matches_row(rng):
     """Full Res16UNet forward under the fully-windowed hybrid with
     per-level row caps == row path (generous caps, zero loss)."""
