@@ -229,19 +229,31 @@ def bench_eval_latency():
         state = task.create_state(jax.random.PRNGKey(0), batch)
         estep = task.make_eval_step()
         feats = batch["features"]
-        for i in range(2):
-            o = estep(state, dict(batch, features=feats + i * 1e-6))
-        jax.block_until_ready(o[0])
-        # dedupe-proof: distinct inputs per iter AND every output fetched
-        outs = []
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            outs.append(estep(state, dict(batch, features=feats + i * 1e-5)))
-        sums = [float(np.asarray(jnp.sum(o[0]))) for o in outs]
-        out[f"eval_{name}_ms"] = round(
-            (time.perf_counter() - t0) / ITERS * 1e3, 2
-        )
-        assert len(set(sums)) == ITERS, "eval executions deduped/skipped"
+
+        # ITERS evals in one scanned program (single dispatch — relay RTT
+        # amortizes); the per-iter input scaling must survive the model's
+        # bf16 cast (an additive 1e-5 rounds away and the relay then
+        # dedupes bit-identical executions — the assertion caught that)
+        @jax.jit
+        def multi_eval(s, f):
+            def body(carry, i):
+                logits, _ = estep(
+                    s, dict(batch, features=f * (1 + 0.01 * i))
+                )
+                return carry, jnp.sum(logits)
+            return jax.lax.scan(
+                body, 0, jnp.arange(ITERS, dtype=jnp.float32)
+            )[1]
+
+        np.asarray(multi_eval(state, feats))  # compile + warm
+        best = None
+        for r in range(REPEATS):
+            t0 = time.perf_counter()
+            sums = np.asarray(multi_eval(state, feats * (1 + 0.001 * r)))
+            dt = (time.perf_counter() - t0) / ITERS
+            best = dt if best is None else min(best, dt)
+            assert len(set(sums.tolist())) == ITERS, "evals deduped/skipped"
+        out[f"eval_{name}_ms"] = round(best * 1e3, 2)
     cfg.clear_config()
     return out
 
@@ -273,19 +285,30 @@ def bench_2d(arch: str, batch: int = 128):
     for _ in range(3):
         state, mets = step(state, data)
     jax.block_until_ready(state.params)
-    # dedupe-proof: fetch every step's loss inside the timed region
+
+    # iters steps in one scanned program; min-of-REPEATS wall + distinct
+    # finite losses (see bench_3d_train for the relay rationale)
     iters = 20
-    all_mets = []
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, mets = step(state, data)
-        all_mets.append(mets)
-    losses = [float(np.asarray(m["loss"])) for m in all_mets]
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(losses).all()
-    assert len(set(losses)) == iters, "2d executions deduped/skipped"
-    return batch / dt
+
+    @jax.jit
+    def multi2d(s):
+        def body(carry, _):
+            carry, mets = step(carry, data)
+            return carry, mets["loss"]
+        return jax.lax.scan(body, s, None, length=iters)
+
+    state, _ = multi2d(state)  # compile + warm
+    best = None
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        state, losses_dev = multi2d(state)
+        losses = np.asarray(losses_dev)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+        assert np.isfinite(losses).all()
+        assert len(set(losses.tolist())) == iters, "2d steps deduped"
+    return batch / best
 
 
 def bench_input_pipeline(tmpdir: str):
@@ -356,8 +379,11 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from nerf_downstream_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache("/root/repo/.jax_cache")
 
     vps, step_dt, device_ms = bench_3d_train()
     extra = {"step_ms": round(step_dt * 1e3, 1)}

@@ -72,6 +72,11 @@ def evaluate(
 
     import jax
 
+    from nerf_downstream_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
     first = next(iter(data_module.val_batches(val_phase)))
     state = task.create_state(jax.random.PRNGKey(0), first)
     state, prune_stats = fold_pruning_masks(state)

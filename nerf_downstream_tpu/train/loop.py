@@ -61,6 +61,14 @@ class Trainer:
         seed: int = 0,
         devices: int = 1,
     ):
+        from nerf_downstream_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        # fresh Mosaic compiles of the windowed conv kernels take minutes;
+        # the persistent cache makes every repeat run load in seconds
+        # (NDT_COMPILE_CACHE=0 opts out)
+        enable_compilation_cache()
         self.task = task
         self.datamodule = datamodule
         self.max_steps = max_steps
