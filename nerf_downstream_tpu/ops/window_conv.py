@@ -318,6 +318,58 @@ def build_plan_direct(
     )
 
 
+def negation_perm(offsets: np.ndarray) -> tuple | None:
+    """(group_perm, member_perm) mapping a same-set plan to its transpose.
+
+    For a symmetric offset set (every d has -d, e.g. full k^3 grids) the
+    transpose plan equals the forward plan with offsets negated — which is
+    a pure RELABELING of the forward plan's arrays: group (dx, dy) takes
+    the rows of group (-dx, -dy) and member dz takes member -dz's (the
+    bounds / cummax / match computations are identical query-for-query).
+    Returns None when the set is not symmetric (partial ZAXIS subsets).
+    """
+    offs = np.asarray(offsets)
+    groups = group_offsets(offs)
+    pos: dict[tuple, tuple[int, int]] = {}
+    for g, idxs in enumerate(groups):
+        for mm, i in enumerate(idxs):
+            pos[tuple(int(v) for v in offs[i])] = (g, mm)
+    g_perm = np.empty(len(groups), np.int64)
+    m_perm = np.empty((len(groups), len(groups[0])), np.int64)
+    for g, idxs in enumerate(groups):
+        for mm, i in enumerate(idxs):
+            neg = tuple(-int(v) for v in offs[i])
+            if neg not in pos:
+                return None
+            gn, mn = pos[neg]
+            g_perm[g] = gn
+            m_perm[g, mm] = mn
+    return g_perm, m_perm
+
+
+def transpose_plan(plan: WindowPlan, offsets: np.ndarray) -> WindowPlan | None:
+    """Derive the transpose (negated-offset) plan of a SAME-SET plan by
+    static relabeling — no key shifts, no binary searches, no match kernel
+    (measured: plan matching was ~half of a level's first-conv device time).
+    Cross-set plans (table != query set) must rebuild: roles swap."""
+    perm = negation_perm(offsets)
+    if perm is None:
+        return None
+    g_perm, m_perm = perm
+    gp = jnp.asarray(g_perm)
+    return WindowPlan(
+        starts=plan.starts[gp],
+        idx=plan.idx[gp[:, None], jnp.asarray(m_perm)],
+        anchor=plan.anchor[gp],
+        sel=plan.sel[gp[:, None], jnp.asarray(m_perm)],
+        n_escaped=plan.n_escaped,
+        perm=plan.perm,
+        tile=plan.tile,
+        window=plan.window,
+        blocks=plan.blocks,
+    )
+
+
 def _use_pallas() -> bool:
     import os
 
@@ -473,18 +525,33 @@ def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
     # map, so scatter-add(d) == windowed gather along the inverse plan with
     # channel-transposed weights. Gather-only backward.
     w_t = jnp.swapaxes(w_perm, -1, -2)
-    d_in = _window_gather_matmul(
-        g_pad, inv_starts, inv_anchor, inv_sel, w_t, inv_tile, window,
-        compute_dtype, inv_blocks,
-    )[:n_in]
+    if _use_pallas():
+        # fused: the inverse map pairs the same (input, output) pairs as
+        # the forward map, so d_w = feats^T @ gathered-gradients falls out
+        # of the d_feats pass — one window sweep for both cotangents
+        from nerf_downstream_tpu.ops.pallas.window_gather import (
+            window_bwd_pallas,
+        )
+
+        d_in, d_w = window_bwd_pallas(
+            g_pad, feats_pad[:n_in], inv_starts, inv_anchor, inv_sel,
+            w_t, inv_tile, window, compute_dtype, inv_blocks,
+        )
+    else:
+        d_in = _window_gather_matmul(
+            g_pad, inv_starts, inv_anchor, inv_sel, w_t, inv_tile, window,
+            compute_dtype, inv_blocks,
+        )[:n_in]
+        d_w = _window_dw(
+            feats_pad, starts, anchor, sel, gc, tile, window,
+            compute_dtype, blocks,
+        )
     d_feats = jnp.concatenate(
         [d_in, jnp.zeros((blocks * window, cin), d_in.dtype)], axis=0
     ).astype(feats_pad.dtype)
-    d_w = _window_dw(
-        feats_pad, starts, anchor, sel, gc, tile, window, compute_dtype,
-        blocks,
-    ).astype(w_perm.dtype)
-    return d_feats, None, None, None, None, None, None, d_w
+    return d_feats, None, None, None, None, None, None, d_w.astype(
+        w_perm.dtype
+    )
 
 
 _window_conv_core.defvjp(_core_fwd, _core_bwd)

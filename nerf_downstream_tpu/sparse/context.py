@@ -136,12 +136,29 @@ class CoordinateContext:
         offsets, transpose) like kernel maps."""
         key = (id(coords), offsets.tobytes(), bool(transpose), "direct")
         if key not in self._window_plans:
-            from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+            from nerf_downstream_tpu.ops.window_conv import (
+                build_plan_direct,
+                transpose_plan,
+            )
 
-            self._window_plans[key] = build_plan_direct(
-                coords, mask, offsets,
-                tile=self.window_tile, window=self.window_size,
-                blocks=self.window_blocks, transpose=transpose,
+            # a same-set transpose plan is a static relabeling of the
+            # forward plan when the offset set is symmetric (full k^3):
+            # skip the whole key-shift + match pipeline for the second of
+            # the pair (measured ~half a level's first-conv device time)
+            other = (id(coords), offsets.tobytes(), not transpose, "direct")
+            derived = (
+                transpose_plan(self._window_plans[other], offsets)
+                if other in self._window_plans
+                else None
+            )
+            self._window_plans[key] = (
+                derived
+                if derived is not None
+                else build_plan_direct(
+                    coords, mask, offsets,
+                    tile=self.window_tile, window=self.window_size,
+                    blocks=self.window_blocks, transpose=transpose,
+                )
             )
         return self._window_plans[key]
 

@@ -580,6 +580,60 @@ def test_pallas_kernels_match_xla(rng, monkeypatch):
     )
 
 
+def test_fused_backward_pallas_matches_xla(rng, monkeypatch):
+    """window_bwd_pallas (fused d_feats + d_w, interpret mode) == the two
+    XLA fallback passes, on a same-set k3 plan pair."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_downstream_tpu.ops import window_conv as wc
+    from nerf_downstream_tpu.ops.pallas.window_gather import (
+        window_bwd_pallas,
+    )
+
+    monkeypatch.setenv("NDT_WINDOW_PALLAS", "0")
+    sv = make_sorted_sv(rng, n=512, valid=420, c=8, extent=16)
+    offs = kernel_offsets(3, 1)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    km, inv = _maps(sv, sv, offs, ctx)
+    tile, window = 64, 128
+    plan = build_plan(km, sv.capacity, offs, tile=tile, window=window)
+    inv_plan = build_plan(inv, sv.capacity, offs, tile=tile, window=window)
+    assert int(plan.n_escaped) == 0 and int(inv_plan.n_escaped) == 0
+    cout = 6
+    w = jnp.asarray(rng.normal(size=(27, 8, cout)).astype(np.float32) * 0.1)
+    g_count = plan.starts.shape[0]
+    m = plan.sel.shape[1]
+    w_perm = w[jnp.asarray(plan.perm)].reshape(g_count, m, 8, cout)
+    w_t = jnp.swapaxes(w_perm, -1, -2)
+    feats_pad = jnp.concatenate(
+        [sv.feats, jnp.zeros((2 * window, 8), sv.feats.dtype)], axis=0
+    )
+    g_out = jnp.asarray(rng.normal(size=(512, cout)).astype(np.float32))
+    g_pad = jnp.concatenate(
+        [g_out, jnp.zeros((2 * window, cout), g_out.dtype)], axis=0
+    )
+
+    ref_din = wc._window_gather_matmul(
+        g_pad, inv_plan.starts, inv_plan.anchor, inv_plan.sel, w_t,
+        inv_plan.tile, window, jnp.float32,
+    )[:512]
+    ref_dw = wc._window_dw(
+        feats_pad, plan.starts, plan.anchor, plan.sel, g_out, plan.tile,
+        window, jnp.float32,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_din, got_dw = window_bwd_pallas(
+            g_pad, feats_pad[:512], inv_plan.starts, inv_plan.anchor,
+            inv_plan.sel, w_t, inv_plan.tile, window, jnp.float32,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_din), np.asarray(ref_din), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dw), np.asarray(ref_dw), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_model_forward_hybrid_matches_row(rng):
     """Full Res16UNet forward: method='hybrid' (windowed s1 convs inside a
     block-resident model, the 'auto' default) == row path."""
@@ -660,3 +714,32 @@ def test_model_forward_window_matches_row(rng):
     np.testing.assert_allclose(
         outs["window"][mask], outs["row"][mask], rtol=2e-4, atol=2e-4
     )
+
+
+def test_transpose_plan_relabeling_matches_build(rng):
+    """transpose_plan (static group/member relabeling of the forward plan)
+    == build_plan_direct(transpose=True), field for field, on a same-set
+    k3 plan; and asymmetric offset subsets return None."""
+    from nerf_downstream_tpu.ops.window_conv import (
+        build_plan_direct,
+        negation_perm,
+        transpose_plan,
+    )
+
+    sv = make_sorted_sv(rng, n=512, valid=430, c=4, extent=20)
+    offs = kernel_offsets(3, 1)
+    fwd = build_plan_direct(sv.coords, sv.mask, offs, tile=64, window=128)
+    ref = build_plan_direct(
+        sv.coords, sv.mask, offs, tile=64, window=128, transpose=True
+    )
+    got = transpose_plan(fwd, offs)
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got.starts), np.asarray(ref.starts))
+    np.testing.assert_array_equal(np.asarray(got.anchor), np.asarray(ref.anchor))
+    np.testing.assert_array_equal(np.asarray(got.sel), np.asarray(ref.sel))
+    np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
+    assert int(got.n_escaped) == int(ref.n_escaped)
+    assert got.perm == ref.perm and got.tile == ref.tile
+    # an asymmetric subset (e.g. dz in {0, 1} only) has no negation perm
+    asym = np.asarray([[0, 0, 0], [0, 0, 1]], np.int32)
+    assert negation_perm(asym) is None
