@@ -44,18 +44,23 @@ REPEATS = 3  # min-of-REPEATS wall filters pool-queue congestion spikes
 
 # fully-windowed hybrid: per-level row caps from this workload's measured
 # occupied rows (62400/12832/2934/763/231 at strides 1..16) with ~15%
-# slack, rounded to window-tile multiples; window coverage = 6 x 128 =
-# 768 rows — the measured device-time frontier of escape-free configs
-# (ROADMAP window-kernel table: cov640 escapes, cov1024 +10% slower).
-# Both guards (level-cap overflow, window escape) NaN-poison, so a
-# throughput number from a truncated run is impossible.
+# slack, rounded to window-tile multiples. Same-set coverage = 4 x 128 =
+# 512 rows, sized for the COMMON tile (probe: covers all but ~1.6k of
+# 1.7M stride-1 entries); the outlier entries ride the escape fallback
+# (window_escape_cap, stride-1 level only — scratch/probe_spans.py).
+# Expanding down-conv maps keep 3 x 4 x 128 = 1536 coverage via
+# window_expand_factor. All guards (level-cap overflow, escape-list
+# overflow) still NaN-poison, so a throughput number from a truncated
+# run is impossible.
 BLOCK_BINDINGS = (
     "CoordinateContext.grid_extent = 128\n"
     'CoordinateContext.method = "hybrid"\n'
     "CoordinateContext.level_caps = (65536, 14848, 3584, 1024, 512)\n"
     "CoordinateContext.window_tile = 256\n"
     "CoordinateContext.window_size = 128\n"
-    "CoordinateContext.window_blocks = 6\n"
+    "CoordinateContext.window_blocks = 4\n"
+    "CoordinateContext.window_expand_factor = 3\n"
+    "CoordinateContext.window_escape_cap = (4096, 0, 0, 0, 0)\n"
     "field_to_sparse.assume_unique = True\n"
 )
 

@@ -58,6 +58,8 @@ def seed_everything(seed: int):
 def train(
     save_path: str = "experiments",
     gpus: int = 1,
+    parallel_mode: str = "ddp",
+    model_parallel: int = 1,
     run_name: Optional[str] = None,
     run_name_postfix: Optional[str] = None,
     project_name: str = "nerf-downstream-tpu",
@@ -102,17 +104,28 @@ def train(
 ):
     os.makedirs(save_path, exist_ok=True)
 
-    axis_name = "data" if gpus > 1 else None
+    # "gspmd" expresses the distributed step through sharding annotations
+    # over a (data, model) mesh (parallel/gspmd.py): the model sees GLOBAL
+    # shapes and no collective axis — XLA inserts the collectives. "ddp"
+    # (default) is the shard_map+psum throughput path.
+    gspmd = parallel_mode == "gspmd" and gpus > 1
+    axis_name = "data" if gpus > 1 and not gspmd else None
     if gpus > 1:
-        assert batch_size % gpus == 0, (
-            f"batch_size {batch_size} not divisible by gpus {gpus}"
+        data_shards = gpus // model_parallel if gspmd else gpus
+        assert batch_size % data_shards == 0, (
+            f"batch_size {batch_size} not divisible by {data_shards} "
+            "data-parallel shards"
         )
-        assert val_batch_size % gpus == 0, (
-            f"val_batch_size {val_batch_size} not divisible by gpus {gpus}"
+        assert val_batch_size % data_shards == 0, (
+            f"val_batch_size {val_batch_size} not divisible by "
+            f"{data_shards} data-parallel shards"
         )
     if model is None:
-        # per-device scene count: each shard holds whole samples
-        model_kwargs = {"num_batches": batch_size // max(gpus, 1)}
+        # per-device scene count under shard_map DDP (each shard holds
+        # whole samples); GSPMD traces global shapes
+        model_kwargs = {
+            "num_batches": batch_size if gspmd else batch_size // max(gpus, 1)
+        }
         if axis_name is not None and use_sync_batchnorm:
             model_kwargs["bn_axis_name"] = axis_name
         model = get_model(**model_kwargs)
@@ -138,7 +151,7 @@ def train(
         capacity=capacity,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
-        shards=max(gpus, 1),
+        shards=1 if gspmd else max(gpus, 1),
     )
 
     task = get_training_module(training_module)(
@@ -194,6 +207,8 @@ def train(
         reset_profiler_every_n_steps=reset_profiler_every_n_steps,
         seed=seed,
         devices=max(gpus, 1),
+        parallel_mode=parallel_mode,
+        model_parallel=model_parallel,
     )
     state = trainer.fit()
     logging.info("\n" + profiler.summary())

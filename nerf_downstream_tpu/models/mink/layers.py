@@ -165,9 +165,12 @@ class SparseConv(nn.Module):
                 # at 64k) is never built on this path
                 if s1_ok:
                     out_sv = sv
-                    plan = ctx.window_plan_direct(sv.coords, sv.mask, offs_w)
+                    plan = ctx.window_plan_direct(
+                        sv.coords, sv.mask, offs_w, stride=sv.stride
+                    )
                     inv_plan = ctx.window_plan_direct(
-                        sv.coords, sv.mask, offs_w, transpose=True
+                        sv.coords, sv.mask, offs_w, transpose=True,
+                        stride=sv.stride,
                     )
                 else:
                     out_sv = ctx.strided(sv, 2)

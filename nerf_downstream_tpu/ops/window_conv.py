@@ -69,6 +69,17 @@ class WindowPlan:
     anchor: jax.Array  # int32[G, N_out]
     sel: jax.Array  # int32[G, M, N_out]
     n_escaped: jax.Array  # int32 scalar
+    # escape-fallback entry list (``escape_cap > 0``): the few (offset,
+    # out-row, in-row) pairs whose neighbor rank falls outside the tile
+    # window run through a tiny gather/scatter side path instead of
+    # NaN-poisoning the conv — coverage becomes a PERFORMANCE knob sized
+    # for the common case, not a hard correctness bound sized for the
+    # worst outlier tile. esc_k indexes perm-ordered [G*M] weights; -1 =
+    # padding. n_escaped then only counts UNHANDLED overflow (list/tile
+    # capacity exceeded — still poisons, fail loud).
+    esc_k: jax.Array | None = None  # int32[E]
+    esc_i: jax.Array | None = None  # int32[E]
+    esc_j: jax.Array | None = None  # int32[E]
     perm: tuple = flax.struct.field(pytree_node=False, default=())
     tile: int = flax.struct.field(pytree_node=False, default=256)
     window: int = flax.struct.field(pytree_node=False, default=512)
@@ -188,6 +199,8 @@ def build_plan_direct(
     out_coords: jax.Array | None = None,
     out_mask: jax.Array | None = None,
     blocks: int = 2,
+    escape_cap: int = 0,
+    escape_tiles: int = 64,
 ) -> WindowPlan:
     """Window plan straight from sorted packed keys — no kernel map, no grid.
 
@@ -304,6 +317,167 @@ def build_plan_direct(
         )
         in_win = (pos < n_in) & (rel >= 0) & (rel < blocks * window)
         idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+
+    esc_k = esc_i = esc_j = None
+    if escape_cap > 0:
+        # Escape fallback (same-set symmetric plans only): instead of
+        # poisoning, collect the few out-of-window pairs into a fixed-size
+        # entry list handled by a gather/scatter side path
+        # (window_conv_apply::_esc_contrib). The windowed pair set must
+        # stay EQUAL between this plan and its negation-relabeled
+        # transpose (the conv's custom backward gathers along the
+        # transpose plan — a one-sided pair would corrupt d_feats), so
+        # in-window entries whose PARTNER window misses them are demoted
+        # into the escape list too. Poisons only on capacity overflow.
+        assert out_coords is coords, (
+            "escape_cap applies to same-set plans only (cross-set plans "
+            "must size their coverage; raise window_blocks instead)"
+        )
+        nperm = negation_perm(offsets)
+        assert nperm is not None, (
+            "escape fallback needs a symmetric offset set"
+        )
+        g_perm, _ = nperm
+        gp = jnp.asarray(g_perm)
+        cov = blocks * window
+        g_count = len(groups)
+        # partner-window (mutuality) check for every in-window entry:
+        # pair (k, i -> j) lives in the transpose plan at entry (kneg, j)
+        # whose window is starts[gneg, j // tile]. A per-element gather
+        # from the starts table is scalar-latency-bound on TPU (measured
+        # 18 ms at 1.7M entries); but an IN-WINDOW j spans at most
+        # R = cov//tile + 2 consecutive partner tiles from the own tile's
+        # quantized start, so the partner start is an R-way arithmetic
+        # SELECT against a tiny [G, nT, R] table instead.
+        # tile-major 4-D formulation: every per-tile quantity broadcasts
+        # along the minor ``tile`` dim — no jnp.repeat materialization, no
+        # layout churn (the flat [G, M, N] form cost ~10 ms/step in
+        # transposed-layout fusions + copies at bench scale)
+        r_vals = cov // tile + 2
+        base = starts // tile  # [G, nT] own window's first tile index
+        ps = starts[gp]  # [G, nT] partner-group starts (static perm)
+        idx_r = jnp.clip(
+            base[:, :, None]
+            + jnp.arange(r_vals, dtype=jnp.int32)[None, None, :],
+            0, nt - 1,
+        )
+        s_r = jax.vmap(lambda p, i: p[i])(ps, idx_r)  # [G, nT, R]
+        idx4 = idx.reshape(g_count, m, nt, tile)
+        valid0 = idx4 >= 0
+        j_abs4 = jnp.where(valid0, starts[:, None, :, None] + idx4, 0)
+        r_idx4 = j_abs4 // tile - base[:, None, :, None]
+        inv_start4 = jnp.full_like(j_abs4, 1 << 30)
+        for r in range(r_vals):
+            inv_start4 = jnp.where(
+                r_idx4 == r, s_r[:, None, :, None, r], inv_start4
+            )
+        # r_idx outside [0, R) cannot happen for in-window entries; if it
+        # ever did, the sentinel start fails in_b and the pair simply
+        # rides the escape list — correctness never depends on this select
+        own_i4 = jnp.arange(n, dtype=jnp.int32).reshape(1, 1, nt, tile)
+        in_b4 = (own_i4 >= inv_start4) & (own_i4 < inv_start4 + cov)
+        demote4 = valid0 & ~in_b4
+        idx = jnp.where(demote4, -1, idx4).reshape(g_count, m, n)
+        j_abs = j_abs4.reshape(g_count, m, n)
+        demote = demote4.reshape(g_count, m, n)
+
+        # part A — out-of-window entries: every such entry lives in a
+        # bounds-escaped (group, tile) (monotone maps: rel >= 0 always).
+        # Instead of per-entry binary searches (a 12 ms while at bench
+        # scale) the candidate tiles' queries equality-match against ONE
+        # contiguous [cov + escape_span) key slice per tile — the same
+        # trick the Pallas match kernel uses, in plain fused XLA.
+        esc_span = 3 * cov
+        slice_w = cov + esc_span
+        esc_gt = (emax - starts) > cov  # [G, nT]
+        n_gt = jnp.sum(esc_gt.astype(jnp.int32))
+        # tiles whose span exceeds even the escape slice cannot be
+        # recovered — poison via the overflow indicator below
+        n_far = jnp.sum(((emax - starts) > slice_w).astype(jnp.int32))
+        te = min(escape_tiles, g_count * nt)
+        _, cand = jax.lax.top_k(esc_gt.reshape(-1).astype(jnp.int32), te)
+        cg = (cand // nt).astype(jnp.int32)
+        ct = (cand % nt).astype(jnp.int32)
+        rows = ct[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)
+        mm = jnp.arange(m, dtype=jnp.int32)
+        i32 = jnp.int32
+        hi_pad = jnp.concatenate(
+            [hi.astype(i32), jnp.full((slice_w,), -1, i32)]
+        )
+        lo_pad = jnp.concatenate(
+            [lo.astype(i32), jnp.full((slice_w,), -1, i32)]
+        )
+        st_c = starts[cg, ct]  # [TE]
+
+        def slice_tile(g, t0, s0):
+            qh = jax.lax.dynamic_slice(
+                q_hi.astype(i32), (g, 0, t0), (1, m, tile)
+            )[0]
+            ql = jax.lax.dynamic_slice(
+                q_lo.astype(i32), (g, 0, t0), (1, m, tile)
+            )[0]
+            hs = jax.lax.dynamic_slice(hi_pad, (s0,), (slice_w,))
+            ls = jax.lax.dynamic_slice(lo_pad, (s0,), (slice_w,))
+            return qh, ql, hs, ls
+
+        qh_c, ql_c, hs_c, ls_c = jax.vmap(slice_tile)(
+            cg, ct * tile, st_c
+        )  # [TE, M, T], [TE, S]
+        eq = (hs_c[:, None, None, :] == qh_c[..., None]) & (
+            ls_c[:, None, None, :] == ql_c[..., None]
+        )  # [TE, M, T, S]
+        iota_s = jax.lax.broadcasted_iota(i32, eq.shape, 3)
+        j_loc = jnp.max(jnp.where(eq, iota_s, -1), axis=3)  # [TE, M, T]
+        a_flag = j_loc >= cov  # found strictly out-of-window
+        a_k = jnp.broadcast_to(
+            cg[:, None, None] * m + mm[None, :, None], j_loc.shape
+        )
+        a_i = jnp.broadcast_to(rows[:, None, :], j_loc.shape)
+        a_j = st_c[:, None, None] + j_loc
+
+        # part B — demoted entries, compressed tile-wise (j known from
+        # idx, no search): tiles containing any demoted entry
+        dem_t = jnp.any(
+            demote.reshape(g_count, m, nt, tile), axis=(1, 3)
+        )  # [G, nT]
+        n_dt = jnp.sum(dem_t.astype(jnp.int32))
+        _, cand2 = jax.lax.top_k(dem_t.reshape(-1).astype(jnp.int32), te)
+        cg2 = (cand2 // nt).astype(jnp.int32)
+        ct2 = (cand2 % nt).astype(jnp.int32)
+        rows2 = ct2[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)
+
+        def slice_dem(g, t0):
+            fl = jax.lax.dynamic_slice(
+                demote.astype(i32), (g, 0, t0), (1, m, tile)
+            )[0]
+            jj = jax.lax.dynamic_slice(j_abs, (g, 0, t0), (1, m, tile))[0]
+            return fl, jj
+
+        b_int, b_j = jax.vmap(slice_dem)(cg2, ct2 * tile)
+        b_flag = b_int > 0
+        b_k = jnp.broadcast_to(
+            cg2[:, None, None] * m + mm[None, :, None], b_flag.shape
+        )
+        b_i = jnp.broadcast_to(rows2[:, None, :], b_flag.shape)
+
+        all_flag = jnp.concatenate(
+            [a_flag.reshape(-1), b_flag.reshape(-1)]
+        )
+        all_k = jnp.concatenate([a_k.reshape(-1), b_k.reshape(-1)])
+        all_i = jnp.concatenate([a_i.reshape(-1), b_i.reshape(-1)])
+        all_j = jnp.concatenate([a_j.reshape(-1), b_j.reshape(-1)])
+        n_esc = jnp.sum(all_flag.astype(jnp.int32))
+        e_cap = min(escape_cap, all_flag.shape[0])
+        _, pick = jax.lax.top_k(all_flag.astype(jnp.int32), e_cap)
+        ok = all_flag[pick]
+        esc_k = jnp.where(ok, all_k[pick], -1).astype(jnp.int32)
+        esc_i = jnp.where(ok, all_i[pick], -1).astype(jnp.int32)
+        esc_j = jnp.where(ok, all_j[pick], -1).astype(jnp.int32)
+        overflow = (
+            (n_gt > te) | (n_dt > te) | (n_esc > e_cap) | (n_far > 0)
+        )
+        n_escaped = overflow.astype(jnp.int32)
+
     anchor, sel, n_bad = _derive_anchor_sel(idx)
     return WindowPlan(
         starts=starts,
@@ -311,6 +485,9 @@ def build_plan_direct(
         anchor=anchor,
         sel=sel,
         n_escaped=n_escaped + n_bad,
+        esc_k=esc_k,
+        esc_i=esc_i,
+        esc_j=esc_j,
         perm=perm,
         tile=tile,
         window=window,
@@ -357,12 +534,30 @@ def transpose_plan(plan: WindowPlan, offsets: np.ndarray) -> WindowPlan | None:
         return None
     g_perm, m_perm = perm
     gp = jnp.asarray(g_perm)
+    esc_k = esc_i = esc_j = None
+    if plan.esc_k is not None:
+        # an escaped pair is escaped in BOTH orientations (mutuality is a
+        # pair property): transpose entries are (negated offset, j, i)
+        m = m_perm.shape[1]
+        lut = np.empty(g_perm.shape[0] * m, np.int32)
+        for g in range(g_perm.shape[0]):
+            for mm in range(m):
+                lut[g * m + mm] = g_perm[g] * m + m_perm[g, mm]
+        ok = plan.esc_k >= 0
+        esc_k = jnp.where(
+            ok, jnp.asarray(lut)[jnp.clip(plan.esc_k, 0)], -1
+        ).astype(jnp.int32)
+        esc_i = plan.esc_j
+        esc_j = plan.esc_i
     return WindowPlan(
         starts=plan.starts[gp],
         idx=plan.idx[gp[:, None], jnp.asarray(m_perm)],
         anchor=plan.anchor[gp],
         sel=plan.sel[gp[:, None], jnp.asarray(m_perm)],
         n_escaped=plan.n_escaped,
+        esc_k=esc_k,
+        esc_i=esc_i,
+        esc_j=esc_j,
         perm=plan.perm,
         tile=plan.tile,
         window=plan.window,
@@ -488,6 +683,31 @@ def _window_dw(feats_pad, starts, anchor, sel, g_out, tile, window,
     return d_w  # [G, M, C, Cout]
 
 
+def _esc_contrib(feats, esc_k, esc_i, esc_j, w_gm, n_out):
+    """Escape-entry side path: out[esc_i] += feats[esc_j] @ w_gm[esc_k].
+
+    Plain differentiable JAX (gather + one-hot weight select + scatter-add)
+    over the fixed-size entry list — autodiff supplies exact d_feats /
+    d_w cotangents for these pairs, complementing the window kernels'
+    custom VJP (which covers exactly the mutually-windowed pairs)."""
+    valid = esc_j >= 0
+    gf = jnp.where(
+        valid[:, None], feats[jnp.clip(esc_j, 0)], 0
+    )  # [E, C]
+    k_count = w_gm.shape[0]
+    oh = (
+        esc_k[:, None] == jnp.arange(k_count, dtype=jnp.int32)[None, :]
+    ).astype(gf.dtype)  # [E, K]
+    contrib = jnp.einsum(
+        "ek,ec,kcd->ed", oh, gf, w_gm,
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.zeros((n_out, w_gm.shape[-1]), jnp.float32)
+    return out.at[jnp.clip(esc_i, 0)].add(
+        jnp.where(valid[:, None], contrib, 0.0), mode="drop"
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def _window_conv_core(feats_pad, starts, anchor, sel, inv_starts,
                       inv_anchor, inv_sel, tile, inv_tile, window,
@@ -593,6 +813,11 @@ def window_conv_apply(
         inv_plan.anchor, inv_plan.sel, plan.tile, inv_plan.tile,
         plan.window, compute_dtype, plan.blocks, inv_plan.blocks, w,
     )
+    if plan.esc_k is not None:
+        out = out + _esc_contrib(
+            feats.astype(compute_dtype), plan.esc_k, plan.esc_i,
+            plan.esc_j, w.reshape(g_count * m, cin, -1), out.shape[0],
+        )
     if guard:
         # fail loud on window escapes (cf. block-cap overflow poison):
         # a silent drop would train on truncated neighborhoods

@@ -19,7 +19,11 @@ Production guidance: the shard_map DDP step keeps kernel-map builds local
 per shard (no cross-device coordinate traffic) and is the throughput path;
 this GSPMD step is the mesh-native expression that additionally shards
 model memory — use it when channel widths or optimizer state outgrow one
-chip. Both are validated on virtual meshes in ``tests/test_gspmd.py``.
+chip. Config-selectable from every 3D CLI: ``train.parallel_mode =
+"gspmd"`` + ``train.model_parallel = M`` with ``--gpus N`` builds the
+(N/M, M) mesh through ``Trainer`` (train/loop.py). Validated on virtual
+meshes in ``tests/test_gspmd.py`` and end-to-end vs a single-device run
+in ``tests/test_cli_3d.py::test_train_cli_gspmd_matches_single``.
 """
 
 from __future__ import annotations
@@ -37,14 +41,16 @@ def make_mesh2d(n_data: int, n_model: int) -> Mesh:
     return Mesh(devices, ("data", "model"))
 
 
-def _param_spec(path, leaf) -> P:
+def _param_spec(path, leaf, n_model: int = 2) -> P:
     """Output-channel sharding rule: last dim of kernels/scales/biases goes
-    to ``model`` when it's big enough to split; everything else replicates."""
+    to ``model`` when it divides evenly AND each shard keeps >= 16 lanes —
+    small heads (a 20-wide classifier bias) and narrow stats replicate
+    rather than splitting into sub-tile slivers."""
     if leaf.ndim == 0:
         return P()
     names = [str(getattr(p, "key", p)) for p in path]
     last = leaf.shape[-1]
-    if last % 2 == 0 and last >= 8 and any(
+    if last % n_model == 0 and last >= 16 * n_model and any(
         n in ("kernel", "scale", "bias", "mean", "var", "running_phi",
               "ema_gz")
         for n in names[-1:]
@@ -54,8 +60,12 @@ def _param_spec(path, leaf) -> P:
 
 
 def param_shardings(mesh: Mesh, tree):
+    n_model = int(mesh.shape.get("model", 2))
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)), tree
+        lambda path, leaf: NamedSharding(
+            mesh, _param_spec(path, leaf, n_model)
+        ),
+        tree,
     )
 
 
@@ -128,13 +138,15 @@ def shard_state(mesh: Mesh, state):
     pshard = param_shardings(mesh, state.params)
     sshard = param_shardings(mesh, state.batch_stats)
 
+    n_model = int(mesh.shape.get("model", 2))
+
     def opt_shard(tree):
         # optimizer state mirrors param tree structure where it does;
         # anything else replicates
         try:
             return jax.tree_util.tree_map_with_path(
                 lambda path, leaf: NamedSharding(
-                    mesh, _param_spec(path, leaf)
+                    mesh, _param_spec(path, leaf, n_model)
                 ),
                 tree,
             )

@@ -44,6 +44,9 @@ class CoordinateContext:
         window_tile: int = 256,
         window_size: int = 512,
         window_blocks: int = 2,
+        window_escape_cap=None,
+        window_escape_tiles: int = 64,
+        window_expand_factor: int = 2,
         level_caps: tuple | None = None,
         level_cap_decay: float | None = None,
     ):
@@ -78,6 +81,21 @@ class CoordinateContext:
         # window_size with more blocks = same reach, finer start
         # quantization (less wasted gather arithmetic)
         self.window_blocks = window_blocks
+        # escape fallback for SAME-SET plans: entries whose neighbor falls
+        # outside the window run through a tiny gather/scatter side path
+        # instead of poisoning — coverage can then be sized for the common
+        # case, not the worst outlier tile. int = cap for every level;
+        # tuple = per-level (log2 of absolute stride, like level_caps);
+        # None/0 = off (escapes poison, the strict default). Overflowing
+        # the cap (or window_escape_tiles candidate tiles) still poisons.
+        self.window_escape_cap = window_escape_cap
+        self.window_escape_tiles = window_escape_tiles
+        # EXPANDING cross-set maps (stride-2 down convs consume ~4-8 input
+        # ranks per output row) get window_expand_factor * window_blocks
+        # coverage blocks at half the tile — decoupled from the same-set
+        # blocks so same-set coverage can shrink (with the escape
+        # fallback) without starving down-conv spans
+        self.window_expand_factor = window_expand_factor
         # per-level ROW capacities (level i = log2 of absolute tensor
         # stride, like block_caps): occupied rows of surface-shell data
         # thin ~4x per stride doubling, so carrying the finest capacity
@@ -129,15 +147,27 @@ class CoordinateContext:
             )
         return self._window_plans[key]
 
-    def window_plan_direct(self, coords, mask, offsets, transpose=False):
+    def escape_cap_for(self, stride: int) -> int:
+        cap = self.window_escape_cap
+        if cap is None:
+            return 0
+        if isinstance(cap, (tuple, list)):
+            level = max(0, int(round(float(np.log2(max(stride, 1))))))
+            return int(cap[min(level, len(cap) - 1)])
+        return int(cap)
+
+    def window_plan_direct(self, coords, mask, offsets, transpose=False,
+                           stride: int = 1):
         """Window plan for a same-set stride-preserving conv, built straight
         from the level's sorted packed keys (no kernel map, no grid index) —
         see ops/window_conv.py::build_plan_direct. Cached per (coords,
-        offsets, transpose) like kernel maps."""
+        offsets, transpose) like kernel maps. ``stride`` selects the
+        level's escape cap (see ``window_escape_cap``)."""
         key = (id(coords), offsets.tobytes(), bool(transpose), "direct")
         if key not in self._window_plans:
             from nerf_downstream_tpu.ops.window_conv import (
                 build_plan_direct,
+                negation_perm,
                 transpose_plan,
             )
 
@@ -151,6 +181,9 @@ class CoordinateContext:
                 if other in self._window_plans
                 else None
             )
+            cap = self.escape_cap_for(stride)
+            if cap and negation_perm(offsets) is None:
+                cap = 0  # asymmetric subset: strict poison semantics
             self._window_plans[key] = (
                 derived
                 if derived is not None
@@ -158,6 +191,8 @@ class CoordinateContext:
                     coords, mask, offsets,
                     tile=self.window_tile, window=self.window_size,
                     blocks=self.window_blocks, transpose=transpose,
+                    escape_cap=cap,
+                    escape_tiles=self.window_escape_tiles,
                 )
             )
         return self._window_plans[key]
@@ -184,7 +219,7 @@ class CoordinateContext:
 
             if expanding:
                 tile = max(32, self.window_tile // 2)
-                blocks = 2 * self.window_blocks
+                blocks = self.window_expand_factor * self.window_blocks
             else:
                 tile, blocks = self.window_tile, self.window_blocks
             self._window_plans[key] = build_plan_direct(

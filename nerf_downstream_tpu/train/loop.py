@@ -60,6 +60,8 @@ class Trainer:
         reset_profiler_every_n_steps: int = 1000,
         seed: int = 0,
         devices: int = 1,
+        parallel_mode: str = "ddp",
+        model_parallel: int = 1,
     ):
         from nerf_downstream_tpu.utils.compile_cache import (
             enable_compilation_cache,
@@ -84,6 +86,12 @@ class Trainer:
         self.reset_profiler_every_n_steps = reset_profiler_every_n_steps
         self.seed = seed
         self.devices = devices
+        if parallel_mode not in ("ddp", "gspmd"):
+            raise ValueError(
+                f"parallel_mode must be 'ddp' or 'gspmd', got {parallel_mode}"
+            )
+        self.parallel_mode = parallel_mode
+        self.model_parallel = max(int(model_parallel), 1)
         self.mesh = None
         if devices > 1:
             import jax as _jax
@@ -94,9 +102,28 @@ class Trainer:
                     f"requested {devices} data-parallel devices but only "
                     f"{avail} are visible"
                 )
-            from nerf_downstream_tpu.parallel.mesh import make_mesh
+            if parallel_mode == "gspmd":
+                # GSPMD flavor (parallel/gspmd.py): a (data, model) mesh,
+                # sharding ANNOTATIONS instead of shard_map/psum — XLA
+                # inserts the collectives. Shards model/optimizer memory
+                # over ``model``; use when channel widths or optimizer
+                # state outgrow one chip (the shard_map DDP path keeps
+                # kernel-map builds shard-local and is the throughput
+                # default).
+                if devices % self.model_parallel:
+                    raise ValueError(
+                        f"devices {devices} not divisible by "
+                        f"model_parallel {self.model_parallel}"
+                    )
+                from nerf_downstream_tpu.parallel.gspmd import make_mesh2d
 
-            self.mesh = make_mesh(devices)
+                self.mesh = make_mesh2d(
+                    devices // self.model_parallel, self.model_parallel
+                )
+            else:
+                from nerf_downstream_tpu.parallel.mesh import make_mesh
+
+                self.mesh = make_mesh(devices)
         self.best_score = -np.inf if monitor_mode == "max" else np.inf
         self.best_ckpt_path = os.path.join(default_root_dir, "best.ckpt")
         self.last_ckpt_path = os.path.join(default_root_dir, "last.ckpt")
@@ -122,12 +149,13 @@ class Trainer:
             return batch
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        n_data = int(self.mesh.shape["data"])
         row = NamedSharding(self.mesh, P("data"))
         rep = NamedSharding(self.mesh, P())
 
         def put(v):
             v = np.asarray(v)
-            if v.ndim >= 1 and v.shape[0] % self.devices == 0 and v.shape[0]:
+            if v.ndim >= 1 and v.shape[0] % n_data == 0 and v.shape[0]:
                 return jax.device_put(v, row)
             return jax.device_put(v, rep)
 
@@ -154,9 +182,12 @@ class Trainer:
         with self.profiler.profile("get_train_batch"):
             first_batch = next(train_iter)
         if state is None:
+            # DDP builds the model with per-shard shapes (shard_map bodies
+            # see one shard); GSPMD traces the GLOBAL shapes — sharding is
+            # an annotation, not a decomposition
             init_batch = (
                 self._local_slice(array_batch(first_batch))
-                if self.mesh is not None
+                if self.mesh is not None and self.parallel_mode == "ddp"
                 else first_batch
             )
             state = task.create_state(rng, init_batch)
@@ -173,7 +204,15 @@ class Trainer:
                 f"{raw['global_step']}"
             )
 
-        if self.mesh is not None:
+        if self.mesh is not None and self.parallel_mode == "gspmd":
+            from nerf_downstream_tpu.parallel.gspmd import (
+                make_gspmd_train_step,
+                shard_state,
+            )
+
+            state = shard_state(self.mesh, state)
+            train_step = make_gspmd_train_step(task, self.mesh)
+        elif self.mesh is not None:
             from nerf_downstream_tpu.parallel.mesh import replicate
 
             state = replicate(self.mesh, state)
@@ -281,7 +320,11 @@ class Trainer:
 
     def validate(self, state, phase: str = "val") -> dict:
         task = self.task
-        if self.mesh is not None:
+        if self.mesh is not None and self.parallel_mode == "gspmd":
+            # the plain eval step is GSPMD-ready: batches arrive sharded
+            # over ``data`` and XLA derives the collectives from shardings
+            eval_step = task.make_eval_step()
+        elif self.mesh is not None:
             eval_step = task.make_parallel_eval_step(self.mesh)
         else:
             eval_step = task.make_eval_step()

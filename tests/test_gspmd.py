@@ -58,8 +58,12 @@ def test_gspmd_step_matches_single_device(rng):
         'CoordinateContext.method = "row"\n'
     )
     batch = _batch(rng)
+    # last decoder stage wide enough to shard under the >=16-lanes-per-
+    # shard rule (gspmd._param_spec): 64 / 4 model shards = 16 lanes each;
+    # the 8-wide stages must REPLICATE (sub-tile slivers are a pessimization)
     model = get_model(
-        name="Res16UNet14", out_channel=6, num_batches=4, planes=(8,) * 8
+        name="Res16UNet14", out_channel=6, num_batches=4,
+        planes=(8, 8, 8, 8, 8, 8, 8, 64),
     )
     task = SegmentationTraining(
         model, optimizer_name="SGD", scheduler_name="none", lr=0.1,

@@ -743,3 +743,151 @@ def test_transpose_plan_relabeling_matches_build(rng):
     # an asymmetric subset (e.g. dz in {0, 1} only) has no negation perm
     asym = np.asarray([[0, 0, 0], [0, 0, 1]], np.int32)
     assert negation_perm(asym) is None
+
+
+def _row_ref(sv, offs, ctx, w, b=None):
+    km = ctx.kernel_map(
+        sv.coords, sv.mask, sv.coords, sv.mask, offs, in_stride=sv.stride
+    )
+    return sparse_conv_apply(sv.feats, km, jnp.asarray(w), b)
+
+
+def test_escape_fallback_matches_row_conv(rng):
+    """Tiny coverage forces window escapes; with escape_cap > 0 the
+    fallback entry list must reproduce the row conv EXACTLY (forward and
+    both gradients) instead of poisoning."""
+    from nerf_downstream_tpu.ops.window_conv import (
+        build_plan_direct,
+        transpose_plan,
+        window_conv_apply,
+    )
+
+    sv = make_sorted_sv(rng, n=1024, valid=900, c=8, extent=12, batches=2)
+    offs = kernel_offsets(3, 1)
+    ctx = CoordinateContext(num_batches=2, grid_extent=16)
+    tile, window, blocks = 64, 32, 2  # cov 64: dense extent-12 set escapes
+    strict = build_plan_direct(
+        sv.coords, sv.mask, offs, tile=tile, window=window, blocks=blocks
+    )
+    assert int(strict.n_escaped) > 0, "workload must actually escape"
+    fwd = build_plan_direct(
+        sv.coords, sv.mask, offs, tile=tile, window=window, blocks=blocks,
+        escape_cap=4096, escape_tiles=160,
+    )
+    assert int(fwd.n_escaped) == 0, "fallback capacity must absorb escapes"
+    assert int(jnp.sum(fwd.esc_j >= 0)) > 0
+    inv = transpose_plan(fwd, offs)
+
+    w = jnp.asarray(rng.normal(size=(27, 8, 6)).astype(np.float32) * 0.1)
+    ref = _row_ref(sv, offs, ctx, w)
+
+    def win_fn(w_, feats_):
+        out = window_conv_apply(
+            feats_, fwd, inv, w_, compute_dtype=jnp.float32
+        )
+        return out
+
+    got = win_fn(w, sv.feats)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+
+    cot = jnp.asarray(rng.normal(size=got.shape).astype(np.float32))
+
+    def loss_win(w_, feats_):
+        return jnp.sum(win_fn(w_, feats_) * cot)
+
+    def loss_row(w_, feats_):
+        km = ctx.kernel_map(
+            sv.coords, sv.mask, sv.coords, sv.mask, offs, in_stride=1
+        )
+        return jnp.sum(sparse_conv_apply(feats_, km, w_, None) * cot)
+
+    gw_w, gf_w = jax.grad(loss_win, argnums=(0, 1))(w, sv.feats)
+    gw_r, gf_r = jax.grad(loss_row, argnums=(0, 1))(w, sv.feats)
+    np.testing.assert_allclose(
+        np.asarray(gw_w), np.asarray(gw_r), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gf_w), np.asarray(gf_r), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_escape_fallback_overflow_poisons(rng):
+    """A cap too small for the true escape count must still poison."""
+    from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+
+    sv = make_sorted_sv(rng, n=1024, valid=900, c=8, extent=12, batches=2)
+    offs = kernel_offsets(3, 1)
+    fwd = build_plan_direct(
+        sv.coords, sv.mask, offs, tile=64, window=32, blocks=2,
+        escape_cap=2, escape_tiles=160,
+    )
+    assert int(fwd.n_escaped) > 0
+
+
+def test_escape_fallback_model_forward_matches_row(rng):
+    """Full Res16UNet hybrid forward with a deliberately tight window +
+    escape caps == the row path (context-level wiring incl. per-level
+    caps and the transpose relabeling of the escape list)."""
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.models.interface import process_input
+
+    n, valid = 2048, 1800
+    pts = rng.integers(0, 24, (valid, 3)).astype(np.float32)
+    coords = np.zeros((n, 4), np.float32)
+    coords[:valid, 1:] = pts
+    coords[:valid, 0] = rng.integers(0, 2, valid)
+    feats = rng.normal(size=(n, 6)).astype(np.float32)
+    mask = np.arange(n) < valid
+    batch = {
+        "coordinates": coords, "features": feats, "mask": mask,
+        "labels": rng.integers(0, 5, n).astype(np.int32),
+    }
+
+    tight_geom = (
+        "CoordinateContext.grid_extent = 64\n"
+        'CoordinateContext.method = "hybrid"\n'
+        "CoordinateContext.block_cap_divisor = 1\n"
+        "CoordinateContext.window_tile = 64\n"
+        "CoordinateContext.window_size = 64\n"
+        "CoordinateContext.window_blocks = 2\n"
+        # cross-set maps keep generous coverage: only the SAME-SET plans
+        # are squeezed into escaping (cross plans have no fallback)
+        "CoordinateContext.window_expand_factor = 6\n"
+    )
+    outs = {}
+    for name, bindings in (
+        (
+            "row",
+            "CoordinateContext.grid_extent = 64\n"
+            'CoordinateContext.method = "row"\n',
+        ),
+        # strict: same tight geometry, no cap — must poison (proves the
+        # cap run below actually exercises the fallback, not headroom)
+        ("strict", tight_geom),
+        (
+            "tight",
+            tight_geom
+            + "CoordinateContext.window_escape_cap = 8192\n"
+            + "CoordinateContext.window_escape_tiles = 256\n",
+        ),
+    ):
+        cfg.clear_config()
+        cfg.parse_config(bindings)
+        model = get_model(
+            name="Res16UNet14", out_channel=5, num_batches=2,
+            planes=(8,) * 8,
+        )
+        field = process_input(batch)
+        variables = model.init(jax.random.PRNGKey(0), field, train=False)
+        out = model.apply(variables, field, train=False)
+        outs[name] = np.asarray(out)
+    assert not np.isfinite(outs["strict"]).all(), (
+        "geometry must be tight enough that strict mode poisons — "
+        "otherwise this test does not exercise the fallback"
+    )
+    assert np.isfinite(outs["tight"]).all(), "fallback must not poison"
+    np.testing.assert_allclose(
+        outs["tight"][mask], outs["row"][mask], rtol=2e-4, atol=2e-4
+    )
