@@ -318,3 +318,32 @@ def test_prune_batches(tmp_path, rng):
     batches = list(dm.prune_batches(num_batches=2))
     assert len(batches) == 2
     assert batches[0]["coordinates"].shape[1] == 4
+
+
+def test_trilinear_uniform_matches_scipy(rng):
+    """The hand-rolled uniform trilinear interpolation (ElasticDistortion /
+    PerlinNoise hot path) == scipy RegularGridInterpolator with
+    fill_value=0, including out-of-bounds points."""
+    import scipy.interpolate
+
+    from nerf_downstream_tpu.data.transforms import _trilinear_uniform
+
+    dims = (7, 9, 5)
+    step = 4.0
+    gmin = np.array([-3.0, 2.0, 1.5])
+    noise = rng.normal(size=(*dims, 3)).astype(np.float32)
+    ax = [gmin[d] + step * np.arange(dims[d]) for d in range(3)]
+    ref = scipy.interpolate.RegularGridInterpolator(
+        ax, noise, bounds_error=False, fill_value=0
+    )
+    # points inside, on edges, and far outside
+    pts = np.concatenate([
+        gmin + rng.uniform(0, step * (np.array(dims) - 1), (200, 3)),
+        gmin[None, :] + 0.0,
+        (gmin + step * (np.array(dims) - 1))[None, :],
+        gmin + np.array([[-50.0, 0, 0], [0, 1e3, 0], [4.0, 4.0, -0.01]]),
+    ]).astype(np.float32)
+    got = _trilinear_uniform(noise, gmin, step, pts)
+    np.testing.assert_allclose(
+        got, ref(pts).astype(np.float32), rtol=1e-4, atol=1e-5
+    )
