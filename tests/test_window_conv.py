@@ -752,6 +752,7 @@ def _row_ref(sv, offs, ctx, w, b=None):
     return sparse_conv_apply(sv.feats, km, jnp.asarray(w), b)
 
 
+@pytest.mark.quick
 def test_escape_fallback_matches_row_conv(rng):
     """Tiny coverage forces window escapes; with escape_cap > 0 the
     fallback entry list must reproduce the row conv EXACTLY (forward and
