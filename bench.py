@@ -60,7 +60,13 @@ BLOCK_BINDINGS = (
     "CoordinateContext.window_size = 128\n"
     "CoordinateContext.window_blocks = 4\n"
     "CoordinateContext.window_expand_factor = 3\n"
-    "CoordinateContext.window_escape_cap = (4096, 0, 0, 0, 0)\n"
+    # escape caps at EVERY level that can escape (scene-shuffle changes
+    # row offsets and can push outlier tiles past the coverage at any
+    # level — measured on permuted batches, scratch/convergence.py);
+    # stride-16 holds <= coverage rows, escapes impossible. Per-level
+    # candidate-tile budgets keep the search cost proportional.
+    "CoordinateContext.window_escape_cap = (8192, 2048, 512, 512, 0)\n"
+    "CoordinateContext.window_escape_tiles = (64, 12, 6, 6, 6)\n"
     "field_to_sparse.assume_unique = True\n"
 )
 

@@ -88,6 +88,9 @@ class CoordinateContext:
         # tuple = per-level (log2 of absolute stride, like level_caps);
         # None/0 = off (escapes poison, the strict default). Overflowing
         # the cap (or window_escape_tiles candidate tiles) still poisons.
+        # window_escape_tiles is int-or-per-level-tuple alike: the
+        # candidate search costs ~tiles * M * tile * slice compares
+        # independent of level size, so deep levels should bind few.
         self.window_escape_cap = window_escape_cap
         self.window_escape_tiles = window_escape_tiles
         # EXPANDING cross-set maps (stride-2 down convs consume ~4-8 input
@@ -147,14 +150,23 @@ class CoordinateContext:
             )
         return self._window_plans[key]
 
-    def escape_cap_for(self, stride: int) -> int:
-        cap = self.window_escape_cap
-        if cap is None:
+    @staticmethod
+    def _per_level(value, stride: int) -> int:
+        if value is None:
             return 0
-        if isinstance(cap, (tuple, list)):
+        if isinstance(value, (tuple, list)):
             level = max(0, int(round(float(np.log2(max(stride, 1))))))
-            return int(cap[min(level, len(cap) - 1)])
-        return int(cap)
+            return int(value[min(level, len(value) - 1)])
+        return int(value)
+
+    def escape_cap_for(self, stride: int) -> int:
+        return self._per_level(self.window_escape_cap, stride)
+
+    def escape_tiles_for(self, stride: int) -> int:
+        # the candidate-tile search costs ~TE * M * tile * slice compares
+        # regardless of the level's size — deeper (smaller) levels should
+        # bind far fewer tiles (they have proportionally fewer escapes)
+        return self._per_level(self.window_escape_tiles, stride) or 64
 
     def window_plan_direct(self, coords, mask, offsets, transpose=False,
                            stride: int = 1):
@@ -192,7 +204,7 @@ class CoordinateContext:
                     tile=self.window_tile, window=self.window_size,
                     blocks=self.window_blocks, transpose=transpose,
                     escape_cap=cap,
-                    escape_tiles=self.window_escape_tiles,
+                    escape_tiles=self.escape_tiles_for(stride),
                 )
             )
         return self._window_plans[key]

@@ -281,15 +281,24 @@ class Trainer:
     def _check_finite_loss(mets, phase: str = "train"):
         loss = float(np.asarray(mets.get("loss", 0.0)))
         if not np.isfinite(loss):
+            hint = ""
+            ratio = mets.get("ignore_ratio")  # percentage (0-100)
+            if ratio is not None and float(np.asarray(ratio)) >= 99.999:
+                hint = (
+                    " NOTE: ignore_ratio == 100% — every label in the batch "
+                    "remapped to ignore, so the CE mean is 0/0; check the "
+                    "dataset's label space (ScanNet expects raw nyu40 ids)."
+                )
             raise ValueError(
                 f"Invalid {phase} loss: {loss}. A non-finite loss under a "
                 "block method usually means a block-cap overflow, and under "
-                "method='window' a window escape — both guards NaN-poison "
-                "rather than silently truncate. Fixes: raise "
-                "CoordinateContext.block_caps / lower block_cap_divisor (or "
-                "raise window_size) to this dataset's statistics, or fall "
+                "method='window' a window-escape / escape-list overflow — "
+                "all guards NaN-poison rather than silently truncate. "
+                "Fixes: raise CoordinateContext.block_caps / lower "
+                "block_cap_divisor (or raise window_escape_cap / "
+                "window_blocks) to this dataset's statistics, or fall "
                 "back to the capless row path with "
-                "CoordinateContext.method='row'."
+                "CoordinateContext.method='row'." + hint
             )
 
     def _emit_train_logs(self, step: int, mets):
