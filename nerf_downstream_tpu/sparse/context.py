@@ -258,10 +258,16 @@ class CoordinateContext:
         k2 transpose up convs as cross-set window plans. No block layouts,
         no grid kernel maps anywhere on this path (see ROADMAP round-3
         measurements). Escape/cap guards NaN-poison on misconfiguration
-        (fail loud)."""
-        return (
-            self.method in ("auto", "hybrid")
-            and self.grid_extent is not None
+        (fail loud).
+
+        The path needs only packed-key order, NOT a dense grid, so an
+        EXPLICIT ``method = "hybrid"`` also runs without a grid_extent
+        (unbounded outdoor datasets like SemanticKITTI — packing covers
+        x in [-2^19, 2^19), y/z in [-2^15, 2^15)); "auto" stays
+        extent-gated so extent-less configs keep the conservative row
+        path unless they opt in."""
+        return self.method == "hybrid" or (
+            self.method == "auto" and self.grid_extent is not None
         )
 
     def block_layout(self, coords, mask, stride: int):

@@ -892,3 +892,49 @@ def test_escape_fallback_model_forward_matches_row(rng):
     np.testing.assert_allclose(
         outs["tight"][mask], outs["row"][mask], rtol=2e-4, atol=2e-4
     )
+
+
+def test_hybrid_runs_without_grid_extent(rng):
+    """method='hybrid' with NO grid_extent (unbounded outdoor datasets):
+    the windowed path needs only packed-key order — full model forward,
+    incl. negative coordinates, == the row path."""
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.models.interface import process_input
+
+    n, valid = 2048, 1800
+    pts = rng.integers(-40, 40, (valid, 3)).astype(np.float32)
+    coords = np.zeros((n, 4), np.float32)
+    coords[:valid, 1:] = pts
+    coords[:valid, 0] = rng.integers(0, 2, valid)
+    feats = rng.normal(size=(n, 6)).astype(np.float32)
+    mask = np.arange(n) < valid
+    batch = {
+        "coordinates": coords, "features": feats, "mask": mask,
+        "labels": rng.integers(0, 5, n).astype(np.int32),
+    }
+    outs = {}
+    for name, bindings in (
+        ("row", 'CoordinateContext.method = "row"\n'),
+        (
+            "hybrid",
+            'CoordinateContext.method = "hybrid"\n'
+            "CoordinateContext.window_tile = 128\n"
+            "CoordinateContext.window_size = 128\n"
+            "CoordinateContext.window_blocks = 6\n"
+            "CoordinateContext.window_escape_cap = 8192\n",
+        ),
+    ):
+        cfg.clear_config()
+        cfg.parse_config(bindings)
+        model = get_model(
+            name="Res16UNet14", out_channel=5, num_batches=2,
+            planes=(8,) * 8,
+        )
+        field = process_input(batch)
+        variables = model.init(jax.random.PRNGKey(0), field, train=False)
+        out = model.apply(variables, field, train=False)
+        outs[name] = np.asarray(out)
+    assert np.isfinite(outs["hybrid"]).all()
+    np.testing.assert_allclose(
+        outs["hybrid"][mask], outs["row"][mask], rtol=2e-4, atol=2e-4
+    )
