@@ -265,6 +265,10 @@ def bench_eval_latency():
             best = dt if best is None else min(best, dt)
             assert len(set(sums.tolist())) == ITERS, "evals deduped/skipped"
         out[f"eval_{name}_ms"] = round(best * 1e3, 2)
+        if name == "dense":
+            # serving throughput: valid voxels through the full forward
+            n_valid = int(np.asarray(batch["mask"]).sum())
+            out["eval_voxels_per_sec"] = round(n_valid / best, 1)
     cfg.clear_config()
     return out
 
