@@ -23,7 +23,8 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 
 def main():
@@ -33,7 +34,7 @@ def main():
 
     import bench
 
-    enable_compilation_cache("/root/repo/.jax_cache")
+    enable_compilation_cache(os.path.join(_REPO_ROOT, ".jax_cache"))
     extra = os.environ.get("NDT_PROBE_BINDINGS", "").replace(";", "\n")
     if extra:
         bench.BLOCK_BINDINGS = bench.BLOCK_BINDINGS + extra + "\n"

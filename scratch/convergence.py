@@ -26,7 +26,8 @@ import os
 import pickle
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 import numpy as np
 
@@ -91,7 +92,7 @@ def main():
         enable_compilation_cache,
     )
 
-    enable_compilation_cache("/root/repo/.jax_cache")
+    enable_compilation_cache(os.path.join(_REPO_ROOT, ".jax_cache"))
     root = write_tree(args.data)
 
     from co3d_3d import eval as eval_cli
@@ -115,6 +116,10 @@ def main():
     eval_cli.main(common + [
         "--load_path", os.path.join(args.out, "last.ckpt"),
         "--tag", "convergence",
+        # --replace: without it, a rerun with the default --out would see
+        # the previous run's convergence.json, skip eval (idempotent
+        # sweeps), and validate STALE metrics instead of this training run
+        "--replace",
     ])
     res = json.loads(
         open(os.path.join(args.out, "convergence.json")).read()
@@ -127,7 +132,7 @@ def main():
     print(json.dumps({"steps": args.steps, **keep}))
     miou = float(res.get("val/mIoU", 0.0))
     if args.steps >= 100:
-        assert miou > 30.0, (
+        assert miou > 60.0, (
             f"val/mIoU {miou:.1f} — octant geometry should be near-"
             "saturated (chance 12.5, measured 97.6 at 300 steps); the "
             "product path is not learning"

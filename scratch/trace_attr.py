@@ -33,7 +33,8 @@ import sys
 import tempfile
 from collections import defaultdict
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 import numpy as np
 
@@ -106,7 +107,7 @@ def main():
 
     import bench
 
-    enable_compilation_cache("/root/repo/.jax_cache")
+    enable_compilation_cache(os.path.join(_REPO_ROOT, ".jax_cache"))
     multi_step, state, n_valid = build_multi_step()
     state, losses = multi_step(state)  # compile + warm
     np.asarray(losses)
