@@ -105,6 +105,9 @@ def _make_task(jnp, sparse=None):
     return SegmentationTraining(
         model, optimizer_name="SGD", scheduler_name="none", lr=0.1,
         ignore_label=-100,
+        # flagship-config parity: feature jitter rides the device step
+        # (scannet_plenoxel.gin train.device_transforms)
+        device_transforms=("RandomFeatureJitter",),
     )
 
 
@@ -370,6 +373,9 @@ def bench_input_pipeline(tmpdir: str):
         '"CoordinateDropout", "RandomFeatureJitter", '
         '"RandomHorizontalFlip", "RandomTranslation", '
         '"ElasticDistortion"]\n'
+        # flagship parity: jitter leaves the host Compose for the device
+        # step (scannet_plenoxel.gin binds the same)
+        'train.device_transforms = ["RandomFeatureJitter"]\n'
         'PlenoxelScannetDataset.features = ["sh"]\n'
         "RandomCrop.x = 200\nRandomCrop.y = 200\nRandomCrop.z = 200\n"
         "ElasticDistortion.distortion_params = [(4, 16)]\n"

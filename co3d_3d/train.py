@@ -101,6 +101,7 @@ def train(
     debug: bool = False,
     seed: int = 777,
     capacity: Optional[int] = None,
+    device_transforms: tuple = (),
 ):
     os.makedirs(save_path, exist_ok=True)
 
@@ -174,6 +175,10 @@ def train(
         datamodule=data_module,
         scheduler_interval=scheduler_interval,
         axis_name=axis_name,
+        # host augmentations moved into the jitted step; the train
+        # datasets drop the same names from their Compose
+        # (data/device_transforms.py)
+        device_transforms=tuple(device_transforms),
     )
 
     logger_objs = [

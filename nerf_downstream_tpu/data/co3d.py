@@ -73,7 +73,7 @@ class Co3DDatasetBase:
         self.apply_downsample = apply_downsample
         phase = "test" if phase in ("val", "test") else "train"
         names = train_transformations if phase == "train" else eval_transformations
-        self.transformations = T.build(names)
+        self.transformations = T.build(names, device_ok=(phase == "train"))
         self.phase = phase
         self.data_root = data_root
         self.num_points = num_points

@@ -35,7 +35,7 @@ class ModelNet40H5Dataset:
             )
         self.data, self.label = self._load(data_root, phase)
         names = train_transformations if phase == "train" else eval_transformations
-        self.transformations = T.build(names)
+        self.transformations = T.build(names, device_ok=(phase == "train"))
         self.phase = phase
         self.voxel_size = voxel_size
         self.num_points = num_points

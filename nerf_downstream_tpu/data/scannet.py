@@ -125,7 +125,7 @@ class ScannetDataset:
         self.data_root = data_root
         self.ignore_label = ignore_label
         names = train_transformations if phase == "train" else eval_transformations
-        self.transformations = T.build(names)
+        self.transformations = T.build(names, device_ok=(phase == "train"))
         with open(os.path.join(data_root, self.DATA_PATH_FILE[phase])) as f:
             self.pc_files = [l.rstrip("\n") for l in f if l.strip()]
         self.downsample_voxel_size = (
@@ -203,7 +203,7 @@ class PlenoxelScannetDataset:
     ):
         phase = "test" if phase in ("val", "test") else "train"
         names = train_transformations if phase == "train" else eval_transformations
-        self.transformations = T.build(names)
+        self.transformations = T.build(names, device_ok=(phase == "train"))
         self.phase = phase
         self.data_root = data_root
         self.num_points = num_points

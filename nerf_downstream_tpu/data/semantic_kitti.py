@@ -88,7 +88,7 @@ class SemanticKITTIDataset:
         self.phase = phase
         self.ignore_label = ignore_label
         names = train_transformations if phase == "train" else eval_transformations
-        self.transformations = T.build(names)
+        self.transformations = T.build(names, device_ok=(phase == "train"))
         self.pc_files = []
         for seq in _PHASE_SEQS[phase if phase in _PHASE_SEQS else "val"]:
             seq_dir = os.path.join(data_root, "dataset/sequences", seq, "velodyne")

@@ -608,12 +608,34 @@ TRANSFORMS = {
 }
 
 
-def build(names: Sequence[str]) -> Optional[Compose]:
+def build(
+    names: Sequence[str], device_ok: bool = False
+) -> Optional[Compose]:
     """Instantiate a transform pipeline from config names (the reference's
-    ``transforms.__dict__[t]()`` lookup, co3d.py:86-90)."""
+    ``transforms.__dict__[t]()`` lookup, co3d.py:86-90).
+
+    ``device_ok`` (train-phase datasets): transforms listed in the
+    ``train.device_transforms`` gin binding are dropped here — the task
+    applies them inside the jitted train step instead
+    (data/device_transforms.py), cutting host data_time without changing
+    augmentation semantics. Eval/test pipelines pass device_ok=False and
+    always run everything on host."""
     if not names:
         return None
     missing = [n for n in names if n not in TRANSFORMS]
     if missing:
         raise ValueError(f"unknown transforms: {missing}")
+    if device_ok:
+        from nerf_downstream_tpu.data import device_transforms as DT
+
+        on_device = set(DT.configured_names())
+        bad = on_device - set(DT.DEVICE_CAPABLE)
+        if bad:
+            raise ValueError(
+                f"train.device_transforms lists non-device-capable "
+                f"transforms: {sorted(bad)}"
+            )
+        names = [n for n in names if n not in on_device]
+        if not names:
+            return None
     return Compose([TRANSFORMS[n]() for n in names])

@@ -87,6 +87,7 @@ class BaseTask:
         save_pred: bool = False,
         save_pred_path: Optional[str] = None,
         axis_name: Optional[str] = None,
+        device_transforms: tuple = (),
     ):
         # mirror BaseModule's store-everything ctor
         for name, value in list(vars().items()):
@@ -94,6 +95,12 @@ class BaseTask:
                 setattr(self, name, value)
         if load_weights or load_optimizers:
             assert checkpoint_path is not None
+        # augmentations moved off the host into the jitted train step
+        # (data/device_transforms.py); the train datasets drop the same
+        # names from their host Compose via transforms.build(device_ok=)
+        from nerf_downstream_tpu.data import device_transforms as DT
+
+        self._device_aug = DT.build(device_transforms)
         self._train_step_cache = {}
         self._eval_step_cache = None
         self.schedule = None
@@ -160,6 +167,14 @@ class BaseTask:
         raise NotImplementedError
 
     def _apply(self, params, batch_stats, batch, train: bool, rng=None):
+        if train and self._device_aug is not None and rng is not None:
+            key = jax.random.fold_in(rng, 0x5EED)
+            if self.axis_name is not None:
+                # inside shard_map: decorrelate noise across shards
+                key = jax.random.fold_in(
+                    key, jax.lax.axis_index(self.axis_name)
+                )
+            batch = self._device_aug(batch, key)
         field = process_input(batch)
         variables = {"params": params, "batch_stats": batch_stats}
         if train:

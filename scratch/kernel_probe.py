@@ -1,0 +1,585 @@
+"""Standalone window-conv kernel microbench (device-clocked, per-variant).
+
+The round-4 question: the L0 (64k-row) k3/s1 conv kernels carry ~33 of the
+step's 49.8 ms of Mosaic time, at ~42% MXU for C=96 and ~13% for the C=32
+stems — what is the non-MXU 60%?  This probe builds ONE realistic L0 plan
+(the bench batch's real sorted coords through build_plan_direct at the
+bench knobs) and device-times isolated kernel variants:
+
+  v0        the shipped anchor+rolled-window forward kernel
+  v0_dma    windows-only kernel (sum the window refs; no one-hot, no
+            matmul) — isolates grid + DMA cost
+  v0_oh     one-hot dispatch only (oh @ win, no rolls, no weights) —
+            adds the [T,cov] compare + one gather matmul
+  v1        roll-free variant: M shifted-iota one-hots stacked [M*T, cov],
+            ONE gather matmul against the unrolled window, per-member
+            row-mask selects on row blocks (flops == v0, zero roll copies)
+  v2        weights-on-window variant: win @ w[g, m] first ([cov, C] @
+            [C, Cout] per member), then ONE [T, cov] anchor one-hot matmul
+            against the [cov, M*Cout] result with member row-masks folded
+            into the one-hot — dispatch scales with Cout instead of M*C
+
+Usage:  python scratch/kernel_probe.py [c=96] [cout=96] [variants=v0,v1]
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import shutil
+import sys
+import tempfile
+from collections import defaultdict
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+import numpy as np
+
+ITERS = 10
+
+
+def build_l0_plan():
+    """The bench batch's real L0 coordinate set -> same-set k3 plan."""
+    import jax.numpy as jnp
+
+    import bench
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.ops.window_conv import build_plan_direct
+    from nerf_downstream_tpu.sparse import kernel_offsets
+    from nerf_downstream_tpu.sparse.kernels import field_to_sparse
+    from nerf_downstream_tpu.sparse.types import PointField
+
+    cfg.clear_config()
+    cfg.parse_config(bench.BLOCK_BINDINGS)
+    batch = bench.make_batch(np.random.default_rng(0))
+    field = PointField(
+        coords=jnp.asarray(batch["coordinates"]),
+        feats=jnp.asarray(batch["features"]),
+        mask=jnp.asarray(batch["mask"]),
+    )
+    sv, _ = field_to_sparse(field, voxel_size=1.0)
+    offs = kernel_offsets(3, 1)
+    plan = build_plan_direct(
+        sv.coords, sv.mask, offs, tile=256, window=128, blocks=4,
+        escape_cap=8192, escape_tiles=64,
+    )
+    cfg.clear_config()
+    n_esc = int(np.asarray(plan.n_escaped))
+    print(f"plan: n={sv.coords.shape[0]} esc_overflow={n_esc}")
+    return plan, sv
+
+
+# --- variants -------------------------------------------------------------
+
+
+def v0(feats_pad, plan, w_perm, compute_dtype):
+    from nerf_downstream_tpu.ops.pallas.window_gather import (
+        window_gather_matmul_pallas,
+    )
+
+    return window_gather_matmul_pallas(
+        feats_pad, plan.starts, plan.anchor, plan.sel,
+        w_perm.astype(compute_dtype), plan.tile, plan.window,
+        compute_dtype, plan.blocks,
+    )
+
+
+def _pallas_common(plan, c, cout, kernel_body, out_shape):
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_downstream_tpu.ops.pallas.window_gather import (
+        _win_specs_all_groups,
+    )
+
+    g_count, m, n_out = plan.sel.shape
+    tile, window, blocks = plan.tile, plan.window, plan.blocks
+    nt = n_out // tile
+    anchor_p = plan.anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
+    sel_p = plan.sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((g_count, 1, 1, tile), lambda t, st: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_count, 1, m, tile), lambda t, st: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_count, m, c, cout), lambda t, st: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *_win_specs_all_groups(window, c, blocks, g_count),
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, st: (t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return grid_spec, anchor_p, sel_p, out_shape
+
+
+def _make_variant(plan, c, cout, body):
+    import jax
+    from jax.experimental import pallas as pl
+
+    g_count, m, n_out = plan.sel.shape
+    grid_spec, anchor_p, sel_p, out_shape = _pallas_common(
+        plan, c, cout, body, (n_out, cout)
+    )
+
+    def run(feats_pad, w_perm, compute_dtype):
+        import jax.numpy as jnp
+
+        return pl.pallas_call(
+            functools.partial(
+                body, g_count, m, plan.blocks, compute_dtype
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        )(
+            plan.starts, anchor_p, sel_p,
+            w_perm.astype(compute_dtype),
+            *([feats_pad] * g_count * plan.blocks),
+        )
+
+    return run
+
+
+def _body_dma(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+              sel_ref, w_ref, *refs):
+    """Windows-only: sum all window refs into the out tile (no dispatch)."""
+    import jax.numpy as jnp
+
+    win_refs, out_ref = refs[:-1], refs[-1]
+    tile = anchor_ref.shape[-1]
+    acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+    for r in win_refs:
+        blk = r[:].astype(jnp.float32)  # [window, C]
+        acc = acc + jnp.sum(blk, axis=0, keepdims=True)[
+            :, : out_ref.shape[-1]
+        ]
+    out_ref[:] = acc
+
+
+def _body_oh(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+             sel_ref, w_ref, *refs):
+    """Anchor one-hot @ window only (no rolls, no member weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    win_refs, out_ref = refs[:-1], refs[-1]
+    tile = anchor_ref.shape[-1]
+    anchor_all = anchor_ref[:]
+    acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+    for g in range(g_count):
+        win = jnp.concatenate(
+            [r[:] for r in win_refs[g * blocks:(g + 1) * blocks]], axis=0
+        )
+        cov = win.shape[0]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
+        oh = (anchor_all[g, 0, 0].reshape(tile, 1) == iota).astype(
+            compute_dtype
+        )
+        g0 = jnp.dot(oh, win, preferred_element_type=jnp.float32)
+        acc = acc + g0[:, : out_ref.shape[-1]]
+    out_ref[:] = acc
+
+
+def _body_v1(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+             sel_ref, w_ref, *refs):
+    """Roll-free: M shifted-iota one-hots stacked [M*T, cov], one gather
+    matmul, member row-blocks selected by sel masks."""
+    import jax
+    import jax.numpy as jnp
+
+    win_refs, out_ref = refs[:-1], refs[-1]
+    tile = anchor_ref.shape[-1]
+    anchor_all = anchor_ref[:]
+    sel_all = sel_ref[:]
+    acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+    for g in range(g_count):
+        win = jnp.concatenate(
+            [r[:] for r in win_refs[g * blocks:(g + 1) * blocks]], axis=0
+        )  # [cov, C]
+        cov, c = win.shape
+        anchor = anchor_all[g, 0, 0].reshape(tile, 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
+        # oh_s[i, r] = (anchor[i] + s == r): shift the iota, not the window
+        ohs = jnp.concatenate(
+            [(anchor == iota - s).astype(compute_dtype) for s in range(m)],
+            axis=0,
+        )  # [M*T, cov]
+        gall = jnp.dot(
+            ohs, win, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)  # [M*T, C]
+        for j in range(m):
+            sel_j = sel_all[g, 0, j].reshape(tile, 1)
+            gm = jnp.zeros((tile, c), compute_dtype)
+            for s in range(m):
+                gm = gm + gall[s * tile:(s + 1) * tile] * (
+                    sel_j == s
+                ).astype(compute_dtype)
+            acc = acc + jnp.dot(
+                gm, w_ref[g, j], preferred_element_type=jnp.float32
+            )
+    out_ref[:] = acc
+
+
+def _body_v2(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+             sel_ref, w_ref, *refs):
+    """Weights-on-window: P = win @ w[g, m] ([cov, Cout] per member), then
+    member-masked shifted one-hots fused into one [T, cov] @ [cov, M*Cout]
+    matmul and a row-select sum. Dispatch scales with Cout, not M*C."""
+    import jax
+    import jax.numpy as jnp
+
+    win_refs, out_ref = refs[:-1], refs[-1]
+    tile = anchor_ref.shape[-1]
+    cout = out_ref.shape[-1]
+    anchor_all = anchor_ref[:]
+    sel_all = sel_ref[:]
+    acc = jnp.zeros((tile, cout), jnp.float32)
+    for g in range(g_count):
+        win = jnp.concatenate(
+            [r[:] for r in win_refs[g * blocks:(g + 1) * blocks]], axis=0
+        )  # [cov, C]
+        cov, c = win.shape
+        anchor = anchor_all[g, 0, 0].reshape(tile, 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
+        pw = jnp.concatenate(
+            [
+                jnp.dot(
+                    win, w_ref[g, j], preferred_element_type=jnp.float32
+                ).astype(compute_dtype)
+                for j in range(m)
+            ],
+            axis=1,
+        )  # [cov, M*Cout]
+        got = jnp.zeros((tile, cout), jnp.float32)
+        for j in range(m):
+            sel_j = sel_all[g, 0, j].reshape(tile, 1)
+            # member j present with shift s: one-hot row anchor+s, masked
+            ohj = jnp.zeros((tile, cov), compute_dtype)
+            for s in range(m):
+                ohj = ohj + (
+                    (anchor == iota - s) & (sel_j == s)
+                ).astype(compute_dtype)
+            got = got + jnp.dot(
+                ohj, pw[:, j * cout:(j + 1) * cout],
+                preferred_element_type=jnp.float32,
+            )
+        acc = acc + got
+    out_ref[:] = acc
+
+
+def _body_v1b(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+              sel_ref, w_ref, *refs):
+    """v1 + batched weight matmul: selected members concatenate into
+    [T, M*C] and multiply ONE stacked [M*C, Cout] weight per group."""
+    import jax
+    import jax.numpy as jnp
+
+    win_refs, out_ref = refs[:-1], refs[-1]
+    tile = anchor_ref.shape[-1]
+    anchor_all = anchor_ref[:]
+    sel_all = sel_ref[:]
+    acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+    for g in range(g_count):
+        win = jnp.concatenate(
+            [r[:] for r in win_refs[g * blocks:(g + 1) * blocks]], axis=0
+        )
+        cov, c = win.shape
+        anchor = anchor_all[g, 0, 0].reshape(tile, 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
+        ohs = jnp.concatenate(
+            [(anchor == iota - s).astype(compute_dtype) for s in range(m)],
+            axis=0,
+        )
+        gall = jnp.dot(
+            ohs, win, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)  # [M*T, C]
+        parts = []
+        for j in range(m):
+            sel_j = sel_all[g, 0, j].reshape(tile, 1)
+            gm = jnp.zeros((tile, c), compute_dtype)
+            for s in range(m):
+                gm = gm + gall[s * tile:(s + 1) * tile] * (
+                    sel_j == s
+                ).astype(compute_dtype)
+            parts.append(gm)
+        gsel = jnp.concatenate(parts, axis=1)  # [T, M*C]
+        wg = w_ref[g].reshape(m * c, w_ref.shape[-1])
+        acc = acc + jnp.dot(
+            gsel, wg, preferred_element_type=jnp.float32
+        )
+    out_ref[:] = acc
+
+
+def _make_v3_body(b):
+    def _body_v3(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+                 sel_ref, w_ref, *refs):
+        """Block-gather: windows stream as [window/B, B*C] views (free HBM
+        reshape), TWO one-hots gather row-blocks p0 and p0+1 (covering
+        rows [anchor .. anchor+M-1] for any anchor alignment), members
+        extracted by 2B lane-block selects. Dispatch flops: 2*T*cov*C
+        regardless of M, and B*C packs lanes exactly (4*32=128,
+        4*96=384, 2*128=256)."""
+        import jax
+        import jax.numpy as jnp
+
+        win_refs, out_ref = refs[:-1], refs[-1]
+        tile = anchor_ref.shape[-1]
+        anchor_all = anchor_ref[:]
+        sel_all = sel_ref[:]
+        acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+        for g in range(g_count):
+            win2 = jnp.concatenate(
+                [r[:] for r in win_refs[g * blocks:(g + 1) * blocks]],
+                axis=0,
+            )  # [cov/B, B*C]
+            covb, bc = win2.shape
+            c = bc // b
+            anchor_raw = anchor_all[g, 0, 0].reshape(tile, 1)
+            anchor = jnp.maximum(anchor_raw, 0)  # -1 rows masked via sel
+            p0 = anchor // b
+            q = anchor - p0 * b  # within-block offset [0, B)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (tile, covb), 1)
+            ohs = jnp.concatenate(
+                [
+                    (p0 == iota).astype(compute_dtype),
+                    (p0 == iota - 1).astype(compute_dtype),
+                ],
+                axis=0,
+            )  # [2T, cov/B]
+            gall = jnp.dot(
+                ohs, win2, preferred_element_type=jnp.float32
+            ).astype(compute_dtype)  # [2T, B*C]
+            parts = []
+            for j in range(m):
+                sel_j = sel_all[g, 0, j].reshape(tile, 1)
+                pos = q + sel_j  # [0, B+M-1) when valid
+                gm = jnp.zeros((tile, c), compute_dtype)
+                for blk in range(2):
+                    for o in range(b):
+                        cond = (sel_j >= 0) & (pos == blk * b + o)
+                        gm = gm + gall[
+                            blk * tile:(blk + 1) * tile, o * c:(o + 1) * c
+                        ] * cond.astype(compute_dtype)
+                parts.append(gm)
+            gsel = jnp.concatenate(parts, axis=1)
+            wg = w_ref[g].reshape(m * c, w_ref.shape[-1])
+            acc = acc + jnp.dot(
+                gsel, wg, preferred_element_type=jnp.float32
+            )
+        out_ref[:] = acc
+
+    return _body_v3
+
+
+def _make_v3(plan, c, cout, b):
+    """v3 needs the feats passed as the [n/B, B*C] view."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from nerf_downstream_tpu.ops.pallas.window_gather import (
+        _win_specs_all_groups,
+    )
+
+    g_count, m, n_out = plan.sel.shape
+    tile, window, blocks = plan.tile, plan.window, plan.blocks
+    nt = n_out // tile
+    anchor_p = plan.anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
+    sel_p = plan.sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    body = _make_v3_body(b)
+    # window blocks in the [window/B, B*C] view; starts stay row-granular
+    # (st // window indexes whole window blocks in either view)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((g_count, 1, 1, tile), lambda t, st: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_count, 1, m, tile), lambda t, st: (0, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_count, m, c, cout), lambda t, st: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *_win_specs_all_groups(window // b, b * c, blocks, g_count),
+        ],
+        out_specs=pl.BlockSpec((tile, cout), lambda t, st: (t, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def run(feats_pad, w_perm, compute_dtype):
+        import jax.numpy as jnp
+
+        feats2 = feats_pad.reshape(-1, b * c)
+        return pl.pallas_call(
+            functools.partial(body, g_count, m, blocks, compute_dtype),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        )(
+            # starts in view-row units so the window-block index maps
+            # (st // (window//B)) land on the same byte offsets
+            plan.starts // b, anchor_p, sel_p,
+            w_perm.astype(compute_dtype),
+            *([feats2] * g_count * blocks),
+        )
+
+    return run
+
+
+def _body_v4(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
+             sel_ref, w_ref, *refs):
+    """Per-member one-hots from idx directly (idx = anchor + sel,
+    reconstructed in-kernel; -1 never matches iota): 3 compares + ONE
+    stacked [M*T, cov] gather matmul + M weight matmuls. No rolls, no
+    selects — the anchor/select machinery existed to share one one-hot,
+    but the compares are cheaper than the selects they save."""
+    import jax
+    import jax.numpy as jnp
+
+    win_refs, out_ref = refs[:-1], refs[-1]
+    tile = anchor_ref.shape[-1]
+    anchor_all = anchor_ref[:]
+    sel_all = sel_ref[:]
+    acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
+    for g in range(g_count):
+        win = jnp.concatenate(
+            [r[:] for r in win_refs[g * blocks:(g + 1) * blocks]], axis=0
+        )
+        cov, c = win.shape
+        anchor = anchor_all[g, 0, 0].reshape(tile, 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
+        ohs = jnp.concatenate(
+            [
+                (
+                    jnp.where(
+                        sel_all[g, 0, j].reshape(tile, 1) >= 0,
+                        anchor + sel_all[g, 0, j].reshape(tile, 1),
+                        -1,
+                    )
+                    == iota
+                ).astype(compute_dtype)
+                for j in range(m)
+            ],
+            axis=0,
+        )  # [M*T, cov]
+        gall = jnp.dot(
+            ohs, win, preferred_element_type=jnp.float32
+        ).astype(compute_dtype)
+        for j in range(m):
+            acc = acc + jnp.dot(
+                gall[j * tile:(j + 1) * tile], w_ref[g, j],
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[:] = acc
+
+
+VARIANTS = {
+    "v0": None,  # shipped kernel
+    "v0_dma": _body_dma,
+    "v0_oh": _body_oh,
+    "v1": _body_v1,
+    "v1b": _body_v1b,
+    "v2": _body_v2,
+    "v4": _body_v4,
+}
+
+
+def device_ms(fn, *args):
+    """Device time of fn's custom-call (profiler XLA Ops plane), ms/call."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(f, w):
+        def body(carry, i):
+            out = fn(f * (1 + 0.001 * i.astype(jnp.float32)), w,
+                     jnp.bfloat16)
+            return carry + jnp.sum(out), None
+
+        s, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(ITERS, dtype=jnp.int32)
+        )
+        return s
+
+    f, w = args
+    s = loop(f, w)
+    s.block_until_ready()
+    logdir = tempfile.mkdtemp(prefix="kp")
+    try:
+        with jax.profiler.trace(logdir):
+            loop(f, w).block_until_ready()
+        paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+        pd = jax.profiler.ProfileData.from_file(paths[0])
+        total = 0.0
+        for plane in pd.planes:
+            if "TPU" not in plane.name and "Device" not in plane.name:
+                continue
+            for line in plane.lines:
+                if line.name == "XLA Ops":
+                    for ev in line.events:
+                        if "custom-call" in ev.name or "conv" in ev.name:
+                            total += ev.duration_ns / 1e6
+        return total / ITERS
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+
+
+def main():
+    import jax.numpy as jnp
+
+    from nerf_downstream_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache(os.path.join(_REPO_ROOT, ".jax_cache"))
+    kv = dict(a.split("=", 1) for a in sys.argv[1:])
+    c = int(kv.get("c", 96))
+    cout = int(kv.get("cout", 96))
+    names = kv.get("variants", "v0,v0_dma,v0_oh,v1,v2").split(",")
+
+    plan, sv = build_l0_plan()
+    g_count, m, n_out = plan.sel.shape
+    rng = np.random.default_rng(0)
+    feats_pad = jnp.asarray(
+        rng.normal(size=(n_out + plan.blocks * plan.window, c))
+        .astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w_perm = jnp.asarray(
+        rng.normal(size=(g_count, m, c, cout)).astype(np.float32) * 0.05
+    )
+
+    ref_out = None
+    for name in names:
+        if name.startswith("v3b"):
+            b = int(name[3:])
+            fn = (lambda f, w, dt, _r=_make_v3(plan, c, cout, b):
+                  _r(f, w, dt))
+        else:
+            body = VARIANTS[name]
+            fn = (
+                functools.partial(lambda f, w, dt: v0(f, plan, w, dt))
+                if body is None
+                else (lambda f, w, dt,
+                      _r=_make_variant(plan, c, cout, body):
+                      _r(f, w, dt))
+            )
+        if name in ("v0", "v1", "v1b", "v2", "v4") or name.startswith("v3b"):
+            import jax.numpy as jnp2
+
+            out = np.asarray(fn(feats_pad, w_perm, jnp2.bfloat16))
+            if ref_out is None:
+                ref_out = out
+            else:
+                err = float(np.max(np.abs(out - ref_out)))
+                scale = float(np.max(np.abs(ref_out))) or 1.0
+                print(f"  {name} max|err| vs first variant: {err:.4g} "
+                      f"(rel {err / scale:.2e})")
+        ms = device_ms(fn, feats_pad, w_perm)
+        print(f"{name:<8} C={c:<4} Cout={cout:<4} {ms:7.3f} ms/call")
+
+
+if __name__ == "__main__":
+    main()
