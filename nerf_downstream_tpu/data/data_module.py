@@ -50,20 +50,72 @@ def _subsample_to_fit(samples: list[dict], capacity: int, rng) -> list[dict]:
     return out
 
 
-class _Prefetcher:
-    """Background thread pool mapping dataset[i] ahead of consumption."""
+_PROC_FN = None
 
-    def __init__(self, fn, indices, num_workers: int, depth: int = 4):
+
+def _proc_init(fn, seed: int, counter):
+    """Fork-pool initializer: install the batch loader and give each
+    worker its own transform-RNG stream (base seed + worker index —
+    forked workers otherwise inherit IDENTICAL numpy RNG state and
+    produce correlated augmentations, the classic DataLoader bug the
+    reference avoids with torch's per-worker seeding)."""
+    global _PROC_FN
+    _PROC_FN = fn
+    with counter.get_lock():
+        wid = counter.value
+        counter.value += 1
+    from nerf_downstream_tpu.data import transforms as T
+
+    T.seed(seed + 7919 * (wid + 1))
+
+
+def _proc_call(arg):
+    return _PROC_FN(arg)
+
+
+class _Prefetcher:
+    """Background worker pool mapping dataset[i] ahead of consumption.
+
+    ``mode="thread"`` (default): a thread pool — numpy releases the GIL in
+    the hot ops, zero IPC cost, shares the process RNG.
+    ``mode="process"``: a fork-based process pool (the reference's
+    DataLoader workers, data_module.py:56-59) — true CPU parallelism for
+    the Python-level transform stack on multi-core hosts; batches pickle
+    back (~ms for bench-scale arrays). Falls back to threads where fork
+    is unavailable.
+    """
+
+    def __init__(self, fn, indices, num_workers: int, depth: int = 4,
+                 mode: str = "thread", seed: int = 0):
         self.fn = fn
         self.indices = list(indices)
         self.num_workers = max(1, num_workers)
         self.depth = depth
+        self.mode = mode
+        self.seed = seed
 
     def __iter__(self):
         if self.num_workers <= 1:
             for i in self.indices:
                 yield self.fn(i)
             return
+        if self.mode == "process":
+            import multiprocessing as mp
+
+            try:
+                ctx = mp.get_context("fork")
+            except ValueError:
+                logging.warning(
+                    "fork unavailable; process workers fall back to threads"
+                )
+            else:
+                counter = ctx.Value("i", 0)
+                with ctx.Pool(
+                    self.num_workers, initializer=_proc_init,
+                    initargs=(self.fn, self.seed, counter),
+                ) as pool:
+                    yield from pool.imap(_proc_call, self.indices)
+                return
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(self.num_workers) as pool:
@@ -104,7 +156,13 @@ class DataModule:
         process_count: int = 1,
         dataset_cls=None,
         shards: int = 1,
+        worker_mode: str = "thread",
     ):
+        # "thread" | "process": see _Prefetcher. Threads suffice when the
+        # per-batch Python time fits inside the device step; fork-based
+        # process workers give true multi-core scaling for the transform
+        # stack (the reference's DataLoader num_workers, :56-59).
+        self.worker_mode = worker_mode
         self.batch_size = batch_size
         self.val_batch_size = val_batch_size
         self.train_num_workers = train_num_workers
@@ -202,7 +260,8 @@ class DataModule:
                 return self._collate([ds[int(i)] for i in idx_group], cap)
 
             yield from _Prefetcher(
-                load, batches, self.train_num_workers
+                load, batches, self.train_num_workers,
+                mode=self.worker_mode, seed=int(self.rng.integers(2**31)),
             )
 
     def prune_batches(self, num_batches: int = 8,
@@ -225,7 +284,11 @@ class DataModule:
         def load(idx_group):
             return self._collate([ds[int(i)] for i in idx_group], cap)
 
-        return iter(_Prefetcher(load, groups, self.val_num_workers))
+        return iter(
+            _Prefetcher(
+                load, groups, self.val_num_workers, mode=self.worker_mode
+            )
+        )
 
     def val_batches(self, phase: str = "val") -> Iterator[dict]:
         ds = self.dataset(phase)
@@ -244,4 +307,8 @@ class DataModule:
                 pad_to_batch=self.val_batch_size,
             )
 
-        return iter(_Prefetcher(load, batches, self.val_num_workers))
+        return iter(
+            _Prefetcher(
+                load, batches, self.val_num_workers, mode=self.worker_mode
+            )
+        )

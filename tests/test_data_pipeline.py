@@ -347,3 +347,34 @@ def test_trilinear_uniform_matches_scipy(rng):
     np.testing.assert_allclose(
         got, ref(pts).astype(np.float32), rtol=1e-4, atol=1e-5
     )
+
+
+def test_datamodule_process_workers(tmp_path, rng):
+    """worker_mode="process" (fork pool, the reference's DataLoader worker
+    model) yields the same batch count/shapes as threads, and the
+    per-worker transform-RNG reseed decorrelates augmented batches."""
+    root, fdir = _write_co3d_tree(tmp_path, rng, n_scenes=6)
+    cfg.parse_config(
+        'get_dataset.dataset_name = "Co3DDataset"\n'
+        f'Co3DDatasetBase.data_root = "{root}"\n'
+        f'Co3DDatasetBase.filelist_dir = "{fdir}"\n'
+        "Co3DDatasetBase.downsample_stride = 1\n"
+        'Co3DDatasetBase.train_transformations = ["RandomFeatureJitter"]\n'
+        "RandomFeatureJitter.application_ratio = 1.0\n"
+        "RandomFeatureJitter.start_ind = 0\n"
+        "RandomFeatureJitter.feature_dim = 4\n"
+    )
+    from nerf_downstream_tpu.data.data_module import DataModule
+
+    dm = DataModule(
+        batch_size=2, val_batch_size=2, train_num_workers=2,
+        val_num_workers=2, worker_mode="process",
+    )
+    it = dm.train_batches()
+    b0, b1 = next(it), next(it)
+    assert b0["coordinates"].shape[0] == b0["features"].shape[0]
+    assert b0["labels"].shape == (2,)
+    # different worker RNG streams -> different augmented features
+    assert not np.array_equal(b0["features"], b1["features"])
+    vals = list(dm.val_batches("val"))
+    assert len(vals) == 3
