@@ -65,45 +65,46 @@ def _win_specs_all_groups(window, c, blocks, g_count):
 
 
 def _gather_members(m, compute_dtype, anchor_row, sel_rows, win_refs):
-    """[T, C] member-gathered rows via ONE anchor one-hot matmul.
+    """[T, C] member-gathered rows via per-member one-hots and ONE stacked
+    [M*T, cov] matmul.
 
     ``anchor_row`` [T], ``sel_rows`` [M, T] (arrays, already loaded).
-    win_shifts[:, s*C:(s+1)*C] is the window rolled up by s rows, so
-    column block s of the product holds win[anchor + s] — member m picks
-    block sel[m] per row. Roll wrap-around rows are never selected:
-    anchor + sel == idx < coverage by plan construction.
+    Member j's in-window index is anchor + sel[j] (-1 when absent —
+    compares to nothing, yielding a zero row). The earlier anchor form
+    built ONE one-hot and routed shifted-window matmul column blocks to
+    members with [T, C] row-mask selects; measured on the bench L0 plan
+    (scratch/kernel_probe.py) the VPU selects and the rolled-window
+    VMEM materialization cost MORE than the M-1 extra one-hot compares
+    they save: direct per-member one-hots run the same conv in 1.60 ms
+    vs 2.65 ms (C=96) / 2.43 ms (C=32), bit-identical output.
     """
     win = jnp.concatenate([r[:] for r in win_refs], axis=0)  # [cov, C]
     cov, c = win.shape
     tile = anchor_row.shape[-1]
-    win_shifts = jnp.concatenate(
-        [
-            win if s == 0
-            else jnp.concatenate([win[s:], win[:s]], axis=0)
-            for s in range(m)
-        ],
-        axis=1,
-    )  # [cov, M*C]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
     anchor = anchor_row.reshape(tile, 1)
-    oh = (anchor == iota).astype(compute_dtype)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
+    ohs = jnp.concatenate(
+        [
+            (
+                jnp.where(
+                    sel_rows[j].reshape(tile, 1) >= 0,
+                    anchor + sel_rows[j].reshape(tile, 1),
+                    -1,
+                )
+                == iota
+            ).astype(compute_dtype)
+            for j in range(m)
+        ],
+        axis=0,
+    )  # [M*T, cov]
     # Mosaic matmuls accumulate in f32 (bf16 acc is rejected); values are
     # exact row selects either way
     gall = jnp.dot(
-        oh, win_shifts, preferred_element_type=jnp.float32
-    ).astype(compute_dtype)  # [T, M*C]
-    parts = []
-    for j in range(m):
-        sel_j = sel_rows[j].reshape(tile, 1)
-        gm = jnp.zeros((tile, c), compute_dtype)
-        for s in range(m):
-            gm = gm + gall[:, s * c:(s + 1) * c] * (
-                sel_j == s
-            ).astype(compute_dtype)
-        parts.append(gm)
+        ohs, win, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)  # [M*T, C]
     # kept as a per-member list: Mosaic cannot shape-cast [M, C, Cout]
     # weights to [M*C, Cout], so the weight matmuls stay per-member
-    return parts  # M x [T, C]
+    return [gall[j * tile:(j + 1) * tile] for j in range(m)]  # M x [T, C]
 
 
 def _fwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
