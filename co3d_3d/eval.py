@@ -27,6 +27,7 @@ from nerf_downstream_tpu.train.modules import get_training_module
 from nerf_downstream_tpu.utils.prune import (
     count_parameters_tree,
     fold_pruning_masks,
+    pruned_offsets_map,
 )
 
 
@@ -80,6 +81,20 @@ def evaluate(
     first = next(iter(data_module.val_batches(val_phase)))
     state = task.create_state(jax.random.PRNGKey(0), first)
     state, prune_stats = fold_pruning_masks(state)
+    # --sparsify csr/coo/strided (mode 1): derive each conv's live offsets
+    # from its pruned weights (the reference's per-layer valid_kernel,
+    # sparse_conv.py:346-379) and publish the map for mode-1 convs — they
+    # then ride the windowed path with zero-weight group padding, so
+    # offset-level pruning buys real compute savings for any layout
+    sparse_mode = gin.query_parameter("get_model.sparse", default=None)
+    if sparse_mode and 1 in list(sparse_mode):
+        vmap_ = pruned_offsets_map(state.params)
+        if vmap_:
+            gin.bind("CoordinateContext", "valid_offsets_map", vmap_)
+            print(
+                "pruned offset map:",
+                {k: len(v) for k, v in vmap_.items()},
+            )
     if convert_powernorm:
         # BN -> PN statistics transfer (reference powernorm.py:291-329);
         # applies when the model was built with NORM_TYPE="PN" but the

@@ -102,6 +102,7 @@ def train(
     seed: int = 777,
     capacity: Optional[int] = None,
     device_transforms: tuple = (),
+    auto_calibrate: bool = True,
 ):
     os.makedirs(save_path, exist_ok=True)
 
@@ -154,6 +155,15 @@ def train(
         process_count=jax.process_count(),
         shards=1 if gspmd else max(gpus, 1),
     )
+
+    if auto_calibrate:
+        # measure-and-bind the windowed-conv capacity knobs when the config
+        # carries none (utils/calibrate.py) — ME-style it-just-works
+        # generality under static shapes; no-op for measured configs
+        from nerf_downstream_tpu.utils.calibrate import maybe_auto_calibrate
+
+        if maybe_auto_calibrate(data_module):
+            logging.info("auto-calibrated windowed-conv capacity knobs")
 
     task = get_training_module(training_module)(
         model,

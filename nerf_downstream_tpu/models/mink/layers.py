@@ -110,6 +110,15 @@ class SparseConv(nn.Module):
             from nerf_downstream_tpu.ops.weight_sparse import zaxis_offsets
 
             subset = zaxis_offsets(full_offs)
+        if self.conv_mode == 1 and subset is None:  # SPARSE (pruned ckpt)
+            # per-layer live offsets derived from the pruned checkpoint
+            # (eval.py --sparsify builds the map; reference valid_kernel,
+            # sparse_conv.py:346-379); absent entry = not pruned = dense
+            vm = getattr(ctx, "valid_offsets_map", None)
+            if vm:
+                sub = vm.get("/".join(self.path))
+                if sub is not None and 0 < len(sub) < len(full_offs):
+                    subset = tuple(int(i) for i in sub)
 
         # a z-column offset subset (the ZAXIS sparsified-inference mode and
         # any pruning that keeps only dx==dy==0 offsets) stays on the block
@@ -144,14 +153,24 @@ class SparseConv(nn.Module):
         # CoordinateContext.level_caps), s2 k2/k1 down convs as cross-set
         # plans. No block layouts, no grid kernel maps on this path.
         if ctx.use_window_full() and self.dilation == 1:
-            offs_w = (
-                full_offs if subset is None else full_offs[list(subset)]
-            )
-            s1_ok = (
-                self.kernel_size == 3
-                and self.stride == 1
-                and _window_groups_ok(offs_w)
-            )
+            # arbitrary pruned offset subsets ride the windowed path too:
+            # non-uniform (dx, dy) groups are padded with zero-weight
+            # duplicate slots (the kernels consume per-member indices, so
+            # a padded member just multiplies its matches by 0) — compute
+            # scales with the live offset count instead of falling back to
+            # the dense-masked row path (weight_sparse.pad_offset_groups)
+            w_rows = None
+            if subset is None:
+                offs_w = full_offs
+            else:
+                offs_w = full_offs[list(subset)]
+                if not _window_groups_ok(offs_w):
+                    from nerf_downstream_tpu.ops.weight_sparse import (
+                        pad_offset_groups,
+                    )
+
+                    offs_w, w_rows = pad_offset_groups(full_offs, subset)
+            s1_ok = self.kernel_size == 3 and self.stride == 1
             down_ok = (
                 self.kernel_size in (1, 2)
                 and self.stride == 2
@@ -185,7 +204,13 @@ class SparseConv(nn.Module):
                     _kaiming_conv_init,
                     (len(full_offs), cin, self.out_channels),
                 )
-                if subset is not None:
+                if w_rows is not None:
+                    w = jnp.where(
+                        jnp.asarray(w_rows >= 0)[:, None, None],
+                        w[jnp.asarray(np.clip(w_rows, 0, None))],
+                        0.0,
+                    )
+                elif subset is not None:
                     w = w[jnp.asarray(list(subset))]
                 b = (
                     self.param(

@@ -62,9 +62,11 @@ class Res16UNet(nn.Module):
 
     def _conv_mode(self, slot: int) -> int:
         m = self.sparse_mode[slot] if slot < len(self.sparse_mode) else 0
-        # NATIVE(3) has no separate impl on TPU (dense masked == optimal for
-        # unstructured sparsity); SKIP(4) not applicable to residual stages
-        return 2 if m == 2 else 0
+        # SPARSE(1) convs consult the per-layer pruned-offset map
+        # (ctx.valid_offsets_map, eval --sparsify); NATIVE(3) has no
+        # separate impl on TPU (dense masked == optimal for unstructured
+        # sparsity); SKIP(4) not applicable to residual stages
+        return m if m in (1, 2) else 0
 
     def _stage(self, sv, ctx, train, idx):
         block_cls = BLOCKS[self.block]

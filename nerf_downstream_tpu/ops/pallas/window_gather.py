@@ -12,21 +12,16 @@ streams ONE step per output tile; per step the pipeline DMAs
     and per-grid-step overhead (DMA issue, semaphores, bubbles) amortized
     over all G groups (a (tile, group) grid measured 20% slower end to end
     at half the step count);
-  - the [G, T] anchor block, the [G, M, T] member-selection block, and
-    the full [G, M, C, Cout] weights (constant index map — fetched once
-    per call, not per tile);
+  - the [G, M, T] in-window index block and the full [G, M, C, Cout]
+    weights (constant index map — fetched once per call, not per tile);
 
-and the kernel builds ONE one-hot per group (against the anchor — the
-group's members occupy consecutive input ranks, see WindowPlan), runs the
-gather as a single [T, coverage] x [coverage, M*C] MXU matmul against M
-row-shifted copies of the window, selects each member's rows with cheap
-[T, C] masks, and applies the per-member weights into the revisited f32
-output block (offset groups are the innermost, consecutive grid
-dimension).
-
-Versus the per-member formulation this cuts the VPU dispatch work (the
-[T, coverage] compares that dominated kernel time at M=3) by ~3x and
-fuses the M gather matmuls into one wide one.
+and the kernel builds one one-hot per (group, member) straight from the
+indices, runs the gather as a single stacked [M*T, coverage] x
+[coverage, C] MXU matmul per group, and applies the per-member weights
+into the revisited f32 output block. (The earlier anchor+shifted-window
++row-mask-select form measured SLOWER: the rolled-window VMEM
+materialization and the [T, C] selects cost more than the M-1 one-hot
+compares they saved — scratch/kernel_probe.py.)
 
 Traffic per conv: windows blocks*N*C/tile-reuse bytes per group (vs
 27 * N * coverage one-hot bytes) — the arithmetic moves from HBM to the
@@ -64,35 +59,29 @@ def _win_specs_all_groups(window, c, blocks, g_count):
     ]
 
 
-def _gather_members(m, compute_dtype, anchor_row, sel_rows, win_refs):
+def _gather_members(m, compute_dtype, idx_rows, win_refs):
     """[T, C] member-gathered rows via per-member one-hots and ONE stacked
     [M*T, cov] matmul.
 
-    ``anchor_row`` [T], ``sel_rows`` [M, T] (arrays, already loaded).
-    Member j's in-window index is anchor + sel[j] (-1 when absent —
-    compares to nothing, yielding a zero row). The earlier anchor form
-    built ONE one-hot and routed shifted-window matmul column blocks to
-    members with [T, C] row-mask selects; measured on the bench L0 plan
-    (scratch/kernel_probe.py) the VPU selects and the rolled-window
-    VMEM materialization cost MORE than the M-1 extra one-hot compares
-    they save: direct per-member one-hots run the same conv in 1.60 ms
-    vs 2.65 ms (C=96) / 2.43 ms (C=32), bit-identical output.
+    ``idx_rows`` [M, T] (array, already loaded): member j's in-window
+    index (-1 when absent — compares to nothing, yielding a zero row).
+    The earlier anchor+select form built ONE one-hot and routed
+    shifted-window matmul column blocks to members with [T, C] row-mask
+    selects; measured on the bench L0 plan (scratch/kernel_probe.py) the
+    VPU selects and the rolled-window VMEM materialization cost MORE than
+    the M-1 extra one-hot compares they save: direct per-member one-hots
+    run the same conv in 1.60 ms vs 2.65 ms (C=96) / 2.43 ms (C=32),
+    bit-identical output. Consuming idx directly also drops the
+    consecutive-dz-rank invariant, so arbitrary offset subsets (pruned
+    kernels) ride this path.
     """
     win = jnp.concatenate([r[:] for r in win_refs], axis=0)  # [cov, C]
     cov, c = win.shape
-    tile = anchor_row.shape[-1]
-    anchor = anchor_row.reshape(tile, 1)
+    tile = idx_rows.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
     ohs = jnp.concatenate(
         [
-            (
-                jnp.where(
-                    sel_rows[j].reshape(tile, 1) >= 0,
-                    anchor + sel_rows[j].reshape(tile, 1),
-                    -1,
-                )
-                == iota
-            ).astype(compute_dtype)
+            (idx_rows[j].reshape(tile, 1) == iota).astype(compute_dtype)
             for j in range(m)
         ],
         axis=0,
@@ -107,17 +96,15 @@ def _gather_members(m, compute_dtype, anchor_row, sel_rows, win_refs):
     return [gall[j * tile:(j + 1) * tile] for j in range(m)]  # M x [T, C]
 
 
-def _fwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
-                sel_ref, w_ref, *refs):
+def _fwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, idx_ref,
+                w_ref, *refs):
     win_refs, out_ref = refs[:-1], refs[-1]
-    tile = anchor_ref.shape[-1]
-    anchor_all = anchor_ref[:]  # [G, 1, 1, T]
-    sel_all = sel_ref[:]  # [G, 1, M, T]
+    tile = idx_ref.shape[-1]
+    idx_all = idx_ref[:]  # [G, 1, M, T]
     acc = jnp.zeros((tile, out_ref.shape[-1]), jnp.float32)
     for g in range(g_count):
         parts = _gather_members(
-            m, compute_dtype,
-            anchor_all[g, 0, 0], sel_all[g, 0],
+            m, compute_dtype, idx_all[g, 0],
             win_refs[g * blocks:(g + 1) * blocks],
         )
         for j in range(m):
@@ -127,32 +114,26 @@ def _fwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
     out_ref[:] = acc
 
 
-def window_gather_matmul_pallas(feats_pad, starts, anchor, sel, w_perm,
+def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm,
                                 tile, window, compute_dtype, blocks=2):
-    """sum_{g,m} onehot(anchor+sel[g,m]) @ window_g @ w[g,m] -> [N, Cout].
+    """sum_{g,m} onehot(idx[g,m]) @ window_g @ w[g,m] -> [N, Cout].
 
     feats_pad [n_in + blocks*W, C] (compute dtype); starts int32[G, nT];
-    anchor int32[G, N_out]; sel int32[G, M, N_out]; w_perm [G, M, C, Cout]
-    (compute dtype). Output f32. Grid is one step per output tile: all G
-    groups' windows stream in together and the weights live in VMEM for
-    the whole call.
+    idx int32[G, M, N_out] (in-window indices, -1 = absent); w_perm
+    [G, M, C, Cout] (compute dtype). Output f32. Grid is one step per
+    output tile: all G groups' windows stream in together and the weights
+    live in VMEM for the whole call.
     """
-    g_count, m, n_out = sel.shape
+    g_count, m, n_out = idx.shape
     nt = n_out // tile
     c = feats_pad.shape[1]
     cout = w_perm.shape[-1]
-    anchor_p = anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
-    sel_p = sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    idx_p = idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(
-                (g_count, 1, 1, tile),
-                lambda t, st: (0, t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
             pl.BlockSpec(
                 (g_count, 1, m, tile),
                 lambda t, st: (0, t, 0, 0),
@@ -183,7 +164,7 @@ def window_gather_matmul_pallas(feats_pad, starts, anchor, sel, w_perm,
             bytes_accessed=blocks * n_out * c * g_count + n_out * cout * 4,
             transcendentals=0,
         ),
-    )(starts, anchor_p, sel_p, w_perm, *([feats_pad] * g_count * blocks))
+    )(starts, idx_p, w_perm, *([feats_pad] * g_count * blocks))
 
 
 def _match_kernel(g_count, m, blocks, starts_ref, qh_ref, ql_ref, *refs):
@@ -271,8 +252,8 @@ def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
     return idx_p.transpose(0, 2, 1, 3).reshape(g_count, m, n_out)
 
 
-def _bwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
-                sel_ref, feats_ref, wt_ref, *refs):
+def _bwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, idx_ref,
+                feats_ref, wt_ref, *refs):
     """Fused backward: d_feats AND d_w from ONE pass over the inverse
     plan's gradient windows.
 
@@ -291,15 +272,13 @@ def _bwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    anchor_all = anchor_ref[:]  # [G, 1, 1, T]
-    sel_all = sel_ref[:]  # [G, 1, M, T]
+    idx_all = idx_ref[:]  # [G, 1, M, T]
     feats_tile = feats_ref[:]  # [T, C]
-    tile = anchor_all.shape[-1]
+    tile = idx_all.shape[-1]
     acc = jnp.zeros((tile, din_ref.shape[-1]), jnp.float32)
     for g in range(g_count):
         parts = _gather_members(
-            m, compute_dtype,
-            anchor_all[g, 0, 0], sel_all[g, 0],
+            m, compute_dtype, idx_all[g, 0],
             win_refs[g * blocks:(g + 1) * blocks],
         )  # M x [T, Co] gathered gradient rows
         for j in range(m):
@@ -315,7 +294,7 @@ def _bwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
     din_ref[:] = acc
 
 
-def window_bwd_pallas(g_pad, feats, inv_starts, inv_anchor, inv_sel, w_t,
+def window_bwd_pallas(g_pad, feats, inv_starts, inv_idx, w_t,
                       tile, window, compute_dtype, blocks=2):
     """(d_feats [N_in, C] f32, d_w [G, M, C, Cout] f32) in one fused pass.
 
@@ -324,22 +303,16 @@ def window_bwd_pallas(g_pad, feats, inv_starts, inv_anchor, inv_sel, w_t,
     plan's output set); inv_* come from the INVERSE plan; w_t [G, M,
     Cout, C] channel-transposed weights in the (shared) forward perm.
     """
-    g_count, m, n_in = inv_sel.shape
+    g_count, m, n_in = inv_idx.shape
     nt = n_in // tile
     co = g_pad.shape[1]
     c = feats.shape[1]
-    anchor_p = inv_anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
-    sel_p = inv_sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    idx_p = inv_idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(
-                (g_count, 1, 1, tile),
-                lambda t, st: (0, t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
             pl.BlockSpec(
                 (g_count, 1, m, tile),
                 lambda t, st: (0, t, 0, 0),
@@ -375,13 +348,13 @@ def window_bwd_pallas(g_pad, feats, inv_starts, inv_anchor, inv_sel, w_t,
             jax.ShapeDtypeStruct((g_count, m, c, co), jnp.float32),
         ],
     )(
-        inv_starts, anchor_p, sel_p, feats, w_t,
+        inv_starts, idx_p, feats, w_t,
         *([g_pad] * g_count * blocks),
     )
 
 
-def _dw_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
-               sel_ref, gout_ref, *refs):
+def _dw_kernel(g_count, m, blocks, compute_dtype, starts_ref, idx_ref,
+               gout_ref, *refs):
     win_refs, dw_ref = refs[:-1], refs[-1]
     t = pl.program_id(0)
 
@@ -389,13 +362,11 @@ def _dw_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    anchor_all = anchor_ref[:]  # [G, 1, 1, T]
-    sel_all = sel_ref[:]  # [G, 1, M, T]
+    idx_all = idx_ref[:]  # [G, 1, M, T]
     gout = gout_ref[:]  # [T, Cout]
     for g in range(g_count):
         parts = _gather_members(
-            m, compute_dtype,
-            anchor_all[g, 0, 0], sel_all[g, 0],
+            m, compute_dtype, idx_all[g, 0],
             win_refs[g * blocks:(g + 1) * blocks],
         )
         for j in range(m):
@@ -407,29 +378,23 @@ def _dw_kernel(g_count, m, blocks, compute_dtype, starts_ref, anchor_ref,
             )
 
 
-def window_dw_pallas(feats_pad, starts, anchor, sel, g_out, tile, window,
+def window_dw_pallas(feats_pad, starts, idx, g_out, tile, window,
                      compute_dtype, blocks=2):
     """d_w[g, m] = gathered[g, m]^T @ g_out -> [G, M, C, Cout] f32.
 
     One grid step per tile (see window_gather_matmul_pallas); the [G, M,
     C, Cout] accumulator block is revisited every step.
     """
-    g_count, m, n_out = sel.shape
+    g_count, m, n_out = idx.shape
     nt = n_out // tile
     c = feats_pad.shape[1]
     cout = g_out.shape[-1]
-    anchor_p = anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
-    sel_p = sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    idx_p = idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec(
-                (g_count, 1, 1, tile),
-                lambda t, st: (0, t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
             pl.BlockSpec(
                 (g_count, 1, m, tile),
                 lambda t, st: (0, t, 0, 0),
@@ -451,6 +416,6 @@ def window_dw_pallas(feats_pad, starts, anchor, sel, g_out, tile, window,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_count, m, c, cout), jnp.float32),
     )(
-        starts, anchor_p, sel_p, g_out.astype(compute_dtype),
+        starts, idx_p, g_out.astype(compute_dtype),
         *([feats_pad] * g_count * blocks),
     )

