@@ -93,14 +93,14 @@ def make_batch(rng):
     return collate_mink(samples, capacity=CAPACITY)
 
 
-def _make_task(jnp, sparse=None):
+def _make_task(jnp, sparse=None, num_batches=SCENES):
     from nerf_downstream_tpu.models import get_model
     from nerf_downstream_tpu.train.modules import SegmentationTraining
 
     kwargs = {"sparse": sparse} if sparse else {}
     model = get_model(
-        name="Res16UNet18A", out_channel=NUM_CLASSES, num_batches=SCENES,
-        compute_dtype=jnp.bfloat16, **kwargs,
+        name="Res16UNet18A", out_channel=NUM_CLASSES,
+        num_batches=num_batches, compute_dtype=jnp.bfloat16, **kwargs,
     )
     return SegmentationTraining(
         model, optimizer_name="SGD", scheduler_name="none", lr=0.1,
@@ -276,6 +276,80 @@ def bench_eval_latency():
     return out
 
 
+def bench_serving_latency():
+    """Per-scene (batch-1) serving latency — the deployment number the
+    reference's eval harness logs per scene
+    (segmentation_training.py:125-141). One ~7.8k-voxel scene at a
+    serving-scaled 8k capacity with per-level caps/escape budgets scaled
+    to the single-scene workload."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.data.plenoxel import make_synthetic_scene
+    from nerf_downstream_tpu.data.utils import collate_mink
+    from nerf_downstream_tpu.train.loop import array_batch
+
+    cfg.clear_config()
+    cfg.parse_config(
+        "CoordinateContext.grid_extent = 128\n"
+        'CoordinateContext.method = "hybrid"\n'
+        "CoordinateContext.level_caps = (8192, 2048, 512, 256, 256)\n"
+        "CoordinateContext.window_tile = 256\n"
+        "CoordinateContext.window_size = 128\n"
+        "CoordinateContext.window_blocks = 4\n"
+        "CoordinateContext.window_expand_factor = 3\n"
+        "CoordinateContext.window_escape_cap = (1024, 256, 64, 0, 0)\n"
+        "CoordinateContext.window_escape_tiles = (16, 4, 2, 2, 2)\n"
+        "field_to_sparse.assume_unique = True\n"
+    )
+    rng = np.random.default_rng(0)
+    sc = make_synthetic_scene(
+        rng, n_voxels=VOXELS_PER_SCENE, reso=(128, 128, 128),
+        with_labels=True, num_classes=NUM_CLASSES, surface=True,
+    )
+    batch = array_batch(
+        collate_mink(
+            [
+                {
+                    "coordinates": sc["coords"].astype(np.float32),
+                    "features": np.concatenate(
+                        [sc["density"], sc["sh"]], 1
+                    )[:, 1:28].astype(np.float32),
+                    "labels": sc["labels"],
+                }
+            ],
+            capacity=8192,
+        )
+    )
+    task = _make_task(jnp, num_batches=1)
+    state = task.create_state(jax.random.PRNGKey(0), batch)
+    estep = task.make_eval_step()
+    feats = batch["features"]
+
+    @jax.jit
+    def multi(s, f):
+        def body(carry, i):
+            logits, _ = estep(s, dict(batch, features=f * (1 + 0.01 * i)))
+            return carry, jnp.sum(logits)
+
+        return jax.lax.scan(
+            body, 0, jnp.arange(ITERS, dtype=jnp.float32)
+        )[1]
+
+    np.asarray(multi(state, feats))  # compile + warm
+    best = None
+    for r in range(REPEATS):
+        t0 = time.perf_counter()
+        sums = np.asarray(multi(state, feats * (1 + 0.001 * r)))
+        dt = (time.perf_counter() - t0) / ITERS
+        best = dt if best is None else min(best, dt)
+        assert np.isfinite(sums).all(), "serving eval poisoned (caps)"
+        assert len(set(sums.tolist())) == ITERS, "serving evals deduped"
+    cfg.clear_config()
+    return {"serving_batch1_ms": round(best * 1e3, 2)}
+
+
 def bench_2d(arch: str, batch: int = 128):
     import jax
     import jax.numpy as jnp
@@ -420,6 +494,7 @@ def main():
             extra["data_time_ms"] / extra["step_ms"], 2
         )
         extra.update(bench_eval_latency())
+        extra.update(bench_serving_latency())
         extra["resnet18_2d_img_per_sec"] = round(bench_2d("resnet18"), 1)
         extra["vit_small_2d_img_per_sec"] = round(
             bench_2d("vit_small_patch16_224", batch=64), 1

@@ -119,16 +119,18 @@ def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm,
     """sum_{g,m} onehot(idx[g,m]) @ window_g @ w[g,m] -> [N, Cout].
 
     feats_pad [n_in + blocks*W, C] (compute dtype); starts int32[G, nT];
-    idx int32[G, M, N_out] (in-window indices, -1 = absent); w_perm
+    idx int32[G, nT, M, T] tile-major (in-window indices, -1 = absent —
+    the layout the match kernel emits and this kernel's BlockSpec streams,
+    so no relayout copy ever materializes between them); w_perm
     [G, M, C, Cout] (compute dtype). Output f32. Grid is one step per
     output tile: all G groups' windows stream in together and the weights
     live in VMEM for the whole call.
     """
-    g_count, m, n_out = idx.shape
-    nt = n_out // tile
+    g_count, nt, m, _ = idx.shape
+    n_out = nt * tile
     c = feats_pad.shape[1]
     cout = w_perm.shape[-1]
-    idx_p = idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    idx_p = idx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -192,7 +194,8 @@ def _match_kernel(g_count, m, blocks, starts_ref, qh_ref, ql_ref, *refs):
 
 
 def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
-    """In-window neighbor indices by key equality: idx int32[G, M, N].
+    """In-window neighbor indices by key equality: idx int32[G, nT, M, T]
+    (tile-major — the layout the conv kernels consume directly).
 
     ``hi``/``lo``: the level's sorted packed keys [N] (uint32);
     ``q_hi``/``q_lo``: per-(group, member) shifted query keys [G, M, N];
@@ -249,7 +252,7 @@ def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
         starts, qh_p, ql_p,
         *([hi_pad] * g_count * blocks), *([lo_pad] * g_count * blocks),
     )
-    return idx_p.transpose(0, 2, 1, 3).reshape(g_count, m, n_out)
+    return idx_p
 
 
 def _bwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, idx_ref,
@@ -300,14 +303,15 @@ def window_bwd_pallas(g_pad, feats, inv_starts, inv_idx, w_t,
 
     g_pad [n_out + blocks*W, Cout] (compute dtype, padded gradient);
     feats [N_in, C] (compute dtype, NOT padded — tiles of the inverse
-    plan's output set); inv_* come from the INVERSE plan; w_t [G, M,
-    Cout, C] channel-transposed weights in the (shared) forward perm.
+    plan's output set); inv_* come from the INVERSE plan (inv_idx
+    tile-major int32[G, nT, M, T]); w_t [G, M, Cout, C]
+    channel-transposed weights in the (shared) forward perm.
     """
-    g_count, m, n_in = inv_idx.shape
-    nt = n_in // tile
+    g_count, nt, m, _ = inv_idx.shape
+    n_in = nt * tile
     co = g_pad.shape[1]
     c = feats.shape[1]
-    idx_p = inv_idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    idx_p = inv_idx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -382,14 +386,14 @@ def window_dw_pallas(feats_pad, starts, idx, g_out, tile, window,
                      compute_dtype, blocks=2):
     """d_w[g, m] = gathered[g, m]^T @ g_out -> [G, M, C, Cout] f32.
 
-    One grid step per tile (see window_gather_matmul_pallas); the [G, M,
-    C, Cout] accumulator block is revisited every step.
+    One grid step per tile (see window_gather_matmul_pallas); ``idx`` is
+    tile-major int32[G, nT, M, T]; the [G, M, C, Cout] accumulator block
+    is revisited every step.
     """
-    g_count, m, n_out = idx.shape
-    nt = n_out // tile
+    g_count, nt, m, _ = idx.shape
     c = feats_pad.shape[1]
     cout = g_out.shape[-1]
-    idx_p = idx.reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    idx_p = idx
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

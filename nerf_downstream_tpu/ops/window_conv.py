@@ -49,17 +49,18 @@ class WindowPlan:
     """Tiled window layout for one kernel map (one per map, ctx-cached).
 
     ``starts[g, t]``: input-row offset of tile t's window for offset-group
-    g.  ``idx[g, m, i]``: in-window index of output row i's neighbor under
-    group-member m (-1 = no neighbor / escaped) — the form the conv
-    kernels consume directly (one one-hot per member; -1 matches nothing).
-    ``n_escaped``: valid entries whose neighbor fell outside
-    [start, start+W) — must be 0. Because the kernels take idx verbatim,
-    group members need no rank-adjacency invariant: arbitrary offset
-    subsets (pruned kernels, padded groups) ride the same path.
+    g.  ``idx[g, t, m, i]``: in-window index of output row t*tile+i's
+    neighbor under group-member m (-1 = no neighbor / escaped) — TILE-MAJOR,
+    the exact layout the conv kernels' BlockSpecs stream AND the match
+    kernel emits, so no [G, M, N] <-> [G, nT, M, T] relayout copy ever
+    materializes between plan building and the convs (measured ~0.8 ms
+    per copy at 64k rows). Because the kernels take idx verbatim, group
+    members need no rank-adjacency invariant: arbitrary offset subsets
+    (pruned kernels, padded groups) ride the same path.
     """
 
     starts: jax.Array  # int32[G, nT]
-    idx: jax.Array  # int32[G, M, N_out]
+    idx: jax.Array  # int32[G, nT, M, tile] (tile-major)
     n_escaped: jax.Array  # int32 scalar
     # escape-fallback entry list (``escape_cap > 0``): the few (offset,
     # out-row, in-row) pairs whose neighbor rank falls outside the tile
@@ -156,7 +157,7 @@ def build_plan(
     idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
     return WindowPlan(
         starts=starts,
-        idx=idx,
+        idx=idx.reshape(len(groups), m, nt, tile).transpose(0, 2, 1, 3),
         n_escaped=n_escaped,
         perm=perm,
         tile=tile,
@@ -292,7 +293,12 @@ def build_plan_direct(
             len(groups), 1, n
         )
         in_win = (pos < n_in) & (rel >= 0) & (rel < blocks * window)
-        idx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+        idx = (
+            jnp.where(in_win, rel, -1)
+            .astype(jnp.int32)
+            .reshape(len(groups), m, nt, tile)
+            .transpose(0, 2, 1, 3)  # tile-major (free: CPU fallback only)
+        )
 
     esc_k = esc_i = esc_j = esc_stats = None
     if escape_cap > 0:
@@ -325,10 +331,11 @@ def build_plan_direct(
         # R = cov//tile + 2 consecutive partner tiles from the own tile's
         # quantized start, so the partner start is an R-way arithmetic
         # SELECT against a tiny [G, nT, R] table instead.
-        # tile-major 4-D formulation: every per-tile quantity broadcasts
-        # along the minor ``tile`` dim — no jnp.repeat materialization, no
-        # layout churn (the flat [G, M, N] form cost ~10 ms/step in
-        # transposed-layout fusions + copies at bench scale)
+        # tile-major 4-D formulation in the PLAN's own [G, nT, M, T]
+        # layout: every per-tile quantity broadcasts along the minor
+        # ``tile`` dim — no jnp.repeat materialization, no layout churn
+        # (the flat [G, M, N] form cost ~10 ms/step in transposed-layout
+        # fusions + copies at bench scale)
         r_vals = cov // tile + 2
         base = starts // tile  # [G, nT] own window's first tile index
         ps = starts[gp]  # [G, nT] partner-group starts (static perm)
@@ -338,24 +345,22 @@ def build_plan_direct(
             0, nt - 1,
         )
         s_r = jax.vmap(lambda p, i: p[i])(ps, idx_r)  # [G, nT, R]
-        idx4 = idx.reshape(g_count, m, nt, tile)
+        idx4 = idx  # already tile-major [G, nT, M, T]
         valid0 = idx4 >= 0
-        j_abs4 = jnp.where(valid0, starts[:, None, :, None] + idx4, 0)
-        r_idx4 = j_abs4 // tile - base[:, None, :, None]
+        j_abs4 = jnp.where(valid0, starts[:, :, None, None] + idx4, 0)
+        r_idx4 = j_abs4 // tile - base[:, :, None, None]
         inv_start4 = jnp.full_like(j_abs4, 1 << 30)
         for r in range(r_vals):
             inv_start4 = jnp.where(
-                r_idx4 == r, s_r[:, None, :, None, r], inv_start4
+                r_idx4 == r, s_r[:, :, None, None, r], inv_start4
             )
         # r_idx outside [0, R) cannot happen for in-window entries; if it
         # ever did, the sentinel start fails in_b and the pair simply
         # rides the escape list — correctness never depends on this select
-        own_i4 = jnp.arange(n, dtype=jnp.int32).reshape(1, 1, nt, tile)
+        own_i4 = jnp.arange(n, dtype=jnp.int32).reshape(1, nt, 1, tile)
         in_b4 = (own_i4 >= inv_start4) & (own_i4 < inv_start4 + cov)
         demote4 = valid0 & ~in_b4
-        idx = jnp.where(demote4, -1, idx4).reshape(g_count, m, n)
-        j_abs = j_abs4.reshape(g_count, m, n)
-        demote = demote4.reshape(g_count, m, n)
+        idx = jnp.where(demote4, -1, idx4)
 
         # part A — out-of-window entries: every such entry lives in a
         # bounds-escaped (group, tile) (monotone maps: rel >= 0 always).
@@ -413,23 +418,23 @@ def build_plan_direct(
 
         # part B — demoted entries, compressed tile-wise (j known from
         # idx, no search): tiles containing any demoted entry
-        dem_t = jnp.any(
-            demote.reshape(g_count, m, nt, tile), axis=(1, 3)
-        )  # [G, nT]
+        dem_t = jnp.any(demote4, axis=(2, 3))  # [G, nT]
         n_dt = jnp.sum(dem_t.astype(jnp.int32))
         _, cand2 = jax.lax.top_k(dem_t.reshape(-1).astype(jnp.int32), te)
         cg2 = (cand2 // nt).astype(jnp.int32)
         ct2 = (cand2 % nt).astype(jnp.int32)
         rows2 = ct2[:, None] * tile + jnp.arange(tile, dtype=jnp.int32)
 
-        def slice_dem(g, t0):
+        def slice_dem(g, t):
             fl = jax.lax.dynamic_slice(
-                demote.astype(i32), (g, 0, t0), (1, m, tile)
-            )[0]
-            jj = jax.lax.dynamic_slice(j_abs, (g, 0, t0), (1, m, tile))[0]
+                demote4.astype(i32), (g, t, 0, 0), (1, 1, m, tile)
+            )[0, 0]
+            jj = jax.lax.dynamic_slice(
+                j_abs4, (g, t, 0, 0), (1, 1, m, tile)
+            )[0, 0]
             return fl, jj
 
-        b_int, b_j = jax.vmap(slice_dem)(cg2, ct2 * tile)
+        b_int, b_j = jax.vmap(slice_dem)(cg2, ct2)
         b_flag = b_int > 0
         b_k = jnp.broadcast_to(
             cg2[:, None, None] * m + mm[None, :, None], b_flag.shape
@@ -528,9 +533,29 @@ def transpose_plan(plan: WindowPlan, offsets: np.ndarray) -> WindowPlan | None:
         ).astype(jnp.int32)
         esc_i = plan.esc_j
         esc_j = plan.esc_i
+    # tile-major relabel: group g takes old group g_perm[g]'s tiles and
+    # member m takes old member m_perm[g, m] (axis 2 of [G, nT, M, T]).
+    # Both perms are STATIC, so express the relabel as static slices +
+    # stacks that XLA fuses into plain copies — a take_along_axis with a
+    # broadcast index array compiles to an elementwise gather instead
+    # (measured 24 ms/step at 64k rows vs ~0.8 ms for the copy).
+    m = m_perm.shape[1]
+    idx_t = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    plan.idx[int(g_perm[g]), :, int(m_perm[g, mm]), :]
+                    for mm in range(m)
+                ],
+                axis=1,
+            )
+            for g in range(g_perm.shape[0])
+        ],
+        axis=0,
+    )
     return WindowPlan(
         starts=plan.starts[gp],
-        idx=plan.idx[gp[:, None], jnp.asarray(m_perm)],
+        idx=idx_t,
         n_escaped=plan.n_escaped,
         esc_k=esc_k,
         esc_i=esc_i,
@@ -559,8 +584,9 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile,
                           window, compute_dtype, blocks=2):
     """sum over (g, m) of onehot(idx[g, m]) @ window_g @ w[g, m].
 
-    feats_pad: [n_in + blocks*window, C]; starts [G, nT]; idx [G, M, N]
-    (-1 = absent); w_perm [G, M, C, Cout]; f32 accumulation. On TPU the
+    feats_pad: [n_in + blocks*window, C]; starts [G, nT]; idx tile-major
+    [G, nT, M, T] (-1 = absent); w_perm [G, M, C, Cout]; f32 accumulation.
+    On TPU the
     Pallas kernel builds per-member one-hots in VMEM
     (ops/pallas/window_gather.py); the XLA fallback materializes the
     one-hot (CPU tests / NDT_WINDOW_PALLAS=0). One lax.scan over groups
@@ -577,7 +603,9 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile,
             tile, window, compute_dtype, blocks,
         )
     g_count, nt = starts.shape
-    n_out = idx.shape[2]
+    m = idx.shape[2]
+    n_out = nt * tile
+    idx = idx.transpose(0, 2, 1, 3).reshape(g_count, m, n_out)
     c = feats_pad.shape[1]
     cout = w_perm.shape[-1]
     w2 = blocks * window
@@ -627,7 +655,9 @@ def _window_dw(feats_pad, starts, idx, g_out, tile, window,
             compute_dtype, blocks,
         )
     g_count, nt = starts.shape
-    n_out = idx.shape[2]
+    m = idx.shape[2]
+    n_out = nt * tile
+    idx = idx.transpose(0, 2, 1, 3).reshape(g_count, m, n_out)
     c = feats_pad.shape[1]
     w2 = blocks * window
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, tile, w2), 2)
@@ -766,7 +796,7 @@ def window_conv_apply(
     # have been built with the same offsets array (same group permutation)
     assert plan.perm == inv_plan.perm, (plan.perm, inv_plan.perm)
     n_in, cin = feats.shape
-    g_count, m, _ = plan.idx.shape
+    g_count, _, m, _ = plan.idx.shape
     feats_pad = jnp.concatenate(
         [feats, jnp.zeros((plan.blocks * plan.window, cin), feats.dtype)],
         axis=0,

@@ -47,6 +47,7 @@ class CoordinateContext:
         window_escape_cap=None,
         window_escape_tiles: int = 64,
         window_expand_factor: int = 2,
+        window_cross_blocks: int | None = None,
         level_caps: tuple | None = None,
         level_cap_decay: float | None = None,
         valid_offsets_map=None,
@@ -106,6 +107,14 @@ class CoordinateContext:
         # blocks so same-set coverage can shrink (with the escape
         # fallback) without starving down-conv spans
         self.window_expand_factor = window_expand_factor
+        # CROSS-SET plans (down convs + transpose convs) have no escape
+        # fallback — their coverage is a hard correctness bound — but
+        # their conv cost is ~8x below the same-set stride-1 stages (they
+        # run at the coarse level's tile count). Decoupling their block
+        # count lets the expensive same-set coverage shrink to the
+        # escape-fallback frontier while cross spans stay safely covered.
+        # None = follow window_blocks (the historical coupling).
+        self.window_cross_blocks = window_cross_blocks
         # per-level ROW capacities (level i = log2 of absolute tensor
         # stride, like block_caps): occupied rows of surface-shell data
         # thin ~4x per stride doubling, so carrying the finest capacity
@@ -236,11 +245,12 @@ class CoordinateContext:
         if key not in self._window_plans:
             from nerf_downstream_tpu.ops.window_conv import build_plan_direct
 
+            cross_blocks = self.window_cross_blocks or self.window_blocks
             if expanding:
                 tile = max(32, self.window_tile // 2)
-                blocks = self.window_expand_factor * self.window_blocks
+                blocks = self.window_expand_factor * cross_blocks
             else:
-                tile, blocks = self.window_tile, self.window_blocks
+                tile, blocks = self.window_tile, cross_blocks
             self._window_plans[key] = build_plan_direct(
                 table_sv.coords, table_sv.mask, offsets,
                 tile=tile, window=self.window_size, blocks=blocks,

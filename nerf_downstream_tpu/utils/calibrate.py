@@ -8,7 +8,10 @@ approach — is exactly the class of constant that trips on real-data
 distribution shifts (a scene-order shuffle alone moved escapes to every
 level, ROADMAP 2026-08-18). This module derives them by measuring real
 batches with the SAME boundary/escape logic the runtime uses
-(ops/window_conv.py::build_plan_direct), over scene-order permutations:
+(ops/window_conv.py::build_plan_direct), over scene-order permutations —
+deterministic Williams-design orders covering every ordered scene-pair
+adjacency (window spans change only at scene boundaries in rank space;
+see ``_adjacency_orders``) plus extra random shuffles:
 
 - ``level_caps[i]``: max unique coarsened rows at stride 2^i across the
   sampled batches x slack, rounded up to a window-tile multiple;
@@ -72,15 +75,23 @@ def _sorted_level_coords(rows: np.ndarray, tile: int, cap: int):
     return cj[order], mj[order]
 
 
-def _plan_escape_stats(coords, mask, tile: int, window: int, blocks: int):
+def _plan_escape_stats(coords, mask, tile: int, window: int, blocks: int,
+                       stride: int = 1):
     """(escaped entries, candidate tiles, far-overflow?) for a same-set k3
-    plan at the given coverage — the exact runtime escape accounting."""
+    plan at the given coverage — the exact runtime escape accounting.
+
+    ``stride`` must be the level's tensor stride: the runtime's same-set
+    conv at a stride-s level uses ±s offsets on multiple-of-s coords
+    (kernel_offsets(3, s)), and the boundary spans of ±1-shifted keys
+    differ by just enough ranks to flip threshold tiles (measured: ±1
+    offsets on the stride-2 level said n_gt=0 where the runtime's ±2
+    plan flags 4 tiles — which then poisoned at the bound cap of 0)."""
     import jax.numpy as jnp
 
     from nerf_downstream_tpu.ops import window_conv as W
     from nerf_downstream_tpu.sparse.kernels import kernel_offsets
 
-    offs = kernel_offsets(3, 1)
+    offs = kernel_offsets(3, stride)
     n = coords.shape[0]
     g_count = 9
     nt = max(1, n // max(tile, 1))
@@ -126,6 +137,37 @@ def _cross_escapes(per: dict, s: int, tile: int, window: int, blocks: int,
     return int(np.asarray(plan.n_escaped))
 
 
+def _adjacency_orders(n: int) -> list:
+    """Deterministic scene orders covering every ORDERED scene pair as
+    rank-space neighbors at least once (Williams row-complete designs).
+
+    Permuting scene order moves rows only at scene BOUNDARIES: within a
+    scene the sorted-key layout (and thus every per-tile window span) is
+    permutation-invariant, because query row and neighbor row shift by
+    the same scene-block offset. What shifts is which scene pair a
+    boundary-straddling tile covers — so measuring every ordered
+    adjacency measures every boundary geometry the shuffled loader can
+    produce. The Williams sequence u = [0, 1, n-1, 2, n-2, ...] has the
+    property that its n cyclic shifts cover every ordered pair exactly
+    once for even n; for odd n the reversed sequence's shifts supply the
+    missing directions.
+    """
+    if n <= 1:
+        return []
+    u = [0]
+    for k in range(1, n):
+        u.append((k + 1) // 2 if k % 2 else n - k // 2)
+    rows = [u]
+    if n % 2:
+        rows.append(list(reversed(u)))
+    out = []
+    for base in rows:
+        for shift in range(n):
+            out.append(np.asarray([(v + shift) % n for v in base]))
+    # drop the identity (the unpermuted batch is always measured)
+    return [o for o in out if not np.array_equal(o, np.arange(n))]
+
+
 def _permuted(batch: dict, order: np.ndarray) -> dict:
     coords = np.asarray(batch["coordinates"]).copy()
     bidx = coords[:, 0].astype(int)
@@ -159,8 +201,13 @@ def calibrate(
     ) + 1
 
     variants = []
+    adj = _adjacency_orders(n_scenes)
     for b in batches:
         variants.append(b)
+        # deterministic boundary coverage first (every ordered scene pair
+        # adjacent somewhere), then extra random orders on top
+        for order in adj:
+            variants.append(_permuted(b, order))
         for _ in range(permutations):
             variants.append(_permuted(b, rng.permutation(n_scenes)))
 
@@ -173,20 +220,30 @@ def calibrate(
         max(tile, int(np.ceil(max_rows[s] * slack / tile)) * tile)
         for s in STRIDES
     )
+    # measurement capacities must MATCH the runtime's: the stride-1 plan
+    # is built on the batch's input capacity (level_caps[0] never applies
+    # at L0), and escape/tile budgets shift with the padded tile count —
+    # a budget measured at a rounded-down capacity under-counts the
+    # runtime's candidate tiles (the bug this comment commemorates)
+    in_cap = int(
+        max(np.asarray(b["coordinates"]).shape[0] for b in batches)
+    )
+    meas_caps = (max(in_cap, level_caps[0]),) + level_caps[1:]
     # one compiled shape per stride: pad every variant to the level cap
     level_sets = []
     for vi in range(len(variants)):
         per = {
             s: _sorted_level_coords(
-                all_rows[s][vi], tile, level_caps[i]
+                all_rows[s][vi], tile, meas_caps[i]
             )
             for i, s in enumerate(STRIDES)
         }
         level_sets.append(per)
 
     # smallest same-set coverage whose escapes stay under max_escape_frac
-    # at every level AND whose contracting cross-set plans (transpose side
-    # of the s2 down convs — no escape fallback there) never escape
+    # at every level — same-set plans carry the escape fallback, so their
+    # coverage is a PERFORMANCE frontier (the gather matmul cost is
+    # coverage-proportional), not a correctness bound
     chosen = None
     stats = None
     for blocks in BLOCK_CHOICES:
@@ -197,19 +254,13 @@ def calibrate(
             for s in STRIDES:
                 coords, mask = per[s]
                 entries, tiles, far = _plan_escape_stats(
-                    coords, mask, tile, window, blocks
+                    coords, mask, tile, window, blocks, stride=s
                 )
                 if far or entries > max_escape_frac * max_rows[s] * 3:
                     ok = False
                     break
                 per_level_entries[s] = max(per_level_entries[s], entries)
                 per_level_tiles[s] = max(per_level_tiles[s], tiles)
-            if ok:
-                ok = all(
-                    _cross_escapes(per, s, tile, window, blocks,
-                                   expanding=False) == 0
-                    for s in STRIDES[:-1]
-                )
             if not ok:
                 break
         if ok:
@@ -221,13 +272,33 @@ def calibrate(
     )
     entries, tiles = stats
 
+    # cross-set plans (down convs + transpose convs) have NO escape
+    # fallback — their coverage is a hard bound, derived independently
+    # (window_cross_blocks) so the expensive same-set coverage above can
+    # sit at the escape-fallback frontier. Contracting side first:
+    cross = None
+    for blocks in BLOCK_CHOICES:
+        if blocks < chosen:
+            continue
+        if all(
+            _cross_escapes(per, s, tile, window, blocks, expanding=False)
+            == 0
+            for per in level_sets
+            for s in STRIDES[:-1]
+        ):
+            cross = blocks
+            break
+    assert cross is not None, (
+        f"no cross-set coverage in {BLOCK_CHOICES} covers the transpose "
+        f"spans at window {window} — raise window"
+    )
+
     # expanding cross-set coverage (s2 down convs consume ~4-8 fine ranks
-    # per coarse row; escapes poison — no fallback): smallest factor with
-    # zero escapes everywhere
+    # per coarse row): smallest factor with zero escapes everywhere
     expand = None
     for cand in (2, 3, 4, 6):
         if all(
-            _cross_escapes(per, s, tile, window, chosen * cand,
+            _cross_escapes(per, s, tile, window, cross * cand,
                            expanding=True) == 0
             for per in level_sets
             for s in STRIDES[:-1]
@@ -240,13 +311,23 @@ def calibrate(
     )
 
     def pow2_cap(x: int) -> int:
-        if x <= 0:
-            return 0
-        return 1 << int(np.ceil(np.log2(max(int(x * slack), 1))))
+        # slack + a fixed floor: escape counts on unseen batches vary by
+        # more than a multiplicative factor when the measured count is
+        # small (a handful of boundary pairs)
+        return 1 << int(np.ceil(np.log2(max(int(x * slack) + 32, 1))))
 
-    escape_cap = tuple(pow2_cap(entries[s]) for s in STRIDES)
+    # a level may bind escape_cap = 0 ONLY when no variant produced ANY
+    # bounds-escaped or demoted candidate tile: at cap 0 the runtime
+    # poisons on the CONSERVATIVE tile-boundary indicator (n_gt), which
+    # can flag tiles whose true escaped-entry count is zero (uneven local
+    # key density). Measured zero entries but nonzero candidate tiles ->
+    # the level still needs the escape machinery to absorb the flags.
+    escape_cap = tuple(
+        pow2_cap(entries[s]) if (entries[s] or tiles[s]) else 0
+        for s in STRIDES
+    )
     escape_tiles = tuple(
-        max(2, int(np.ceil(tiles[s] * slack))) if escape_cap[i] else 2
+        max(4, int(np.ceil(tiles[s] * slack)) + 2) if escape_cap[i] else 4
         for i, s in enumerate(STRIDES)
     )
     knobs = {
@@ -254,6 +335,7 @@ def calibrate(
         "window_tile": tile,
         "window_size": window,
         "window_blocks": chosen,
+        "window_cross_blocks": cross,
         "window_expand_factor": expand,
         "window_escape_cap": escape_cap,
         "window_escape_tiles": escape_tiles,

@@ -92,7 +92,8 @@ def _anchor_sel(plan):
     (the plan no longer stores it; derive from idx)."""
     import jax.numpy as jnp
 
-    idx = plan.idx
+    g, nt, m, t = plan.idx.shape
+    idx = plan.idx.transpose(0, 2, 1, 3).reshape(g, m, nt * t)  # flat view
     valid = idx >= 0
     big = jnp.int32(1 << 30)
     anchor = jnp.min(jnp.where(valid, idx, big), axis=1)
@@ -110,7 +111,8 @@ def _pallas_common(plan, c, cout, kernel_body, out_shape):
         _win_specs_all_groups,
     )
 
-    g_count, m, n_out = plan.idx.shape
+    g_count, nt_, m, t_ = plan.idx.shape
+    n_out = nt_ * t_
     tile, window, blocks = plan.tile, plan.window, plan.blocks
     nt = n_out // tile
     anchor, sel = _anchor_sel(plan)
@@ -138,7 +140,8 @@ def _make_variant(plan, c, cout, body):
     import jax
     from jax.experimental import pallas as pl
 
-    g_count, m, n_out = plan.idx.shape
+    g_count, nt_, m, t_ = plan.idx.shape
+    n_out = nt_ * t_
     grid_spec, anchor_p, sel_p, out_shape = _pallas_common(
         plan, c, cout, body, (n_out, cout)
     )
@@ -402,7 +405,8 @@ def _make_v3(plan, c, cout, b):
         _win_specs_all_groups,
     )
 
-    g_count, m, n_out = plan.idx.shape
+    g_count, nt_, m, t_ = plan.idx.shape
+    n_out = nt_ * t_
     tile, window, blocks = plan.tile, plan.window, plan.blocks
     nt = n_out // tile
     anchor, sel = _anchor_sel(plan)
@@ -558,7 +562,8 @@ def main():
     names = kv.get("variants", "v0,v0_dma,v0_oh,v1,v2").split(",")
 
     plan, sv = build_l0_plan()
-    g_count, m, n_out = plan.idx.shape
+    g_count, nt_, m, t_ = plan.idx.shape
+    n_out = nt_ * t_
     rng = np.random.default_rng(0)
     feats_pad = jnp.asarray(
         rng.normal(size=(n_out + plan.blocks * plan.window, c))

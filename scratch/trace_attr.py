@@ -71,11 +71,17 @@ def build_multi_step():
 
 
 def sanitize(name: str) -> str:
-    """fusion.123 -> fusion; keep Mosaic kernel names (the informative part
-    of custom-call names) so window/conv kernels attribute separately."""
-    name = re.sub(r"\.\d+$", "", name)
+    """fusion.123 -> fusion; custom calls (the Mosaic kernels) keep their
+    RESULT SHAPE so convs of different (level, Cin, Cout) attribute
+    separately — kernel names are all 'tpu_custom_call' post-refactor,
+    but the output shape identifies the conv uniquely."""
     m = re.search(r"(window_[a-z_]+|tpu_custom_call[\w-]*)", name)
-    return m.group(1) if m else name
+    if m:
+        shape = re.search(r"= (\(?[a-z0-9\[\],\s]+)", name)
+        return (
+            f"{m.group(1)} {shape.group(1).strip()}" if shape else m.group(1)
+        )
+    return re.sub(r"\.\d+$", "", name)
 
 
 KNOBS = {

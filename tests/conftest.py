@@ -34,6 +34,14 @@ if "jax" in sys.modules:  # a sitecustomize beat us to the import
 import numpy as np
 import pytest
 
+# Persistent XLA compilation cache for the suite: the heavy tests (window
+# convs, golden model, CLI e2e) are compile-bound on a small host; cached
+# reruns cut the full suite severalfold. Keyed by HLO+platform, so the
+# CPU test cache never collides with the TPU bench cache.
+from nerf_downstream_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache(os.path.join(_ROOT, ".jax_cache_cpu"))
+
 
 @pytest.fixture
 def rng():

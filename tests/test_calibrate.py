@@ -38,6 +38,23 @@ def _batches(rng, n_batches=2, scenes=3, voxels=600, cap=4096):
     return out
 
 
+def test_adjacency_orders_cover_all_ordered_pairs():
+    """Williams-design orders: every ordered scene pair adjacent at least
+    once — the boundary-coverage guarantee the permute robustness rests
+    on (in-scene spans are permutation-invariant)."""
+    from nerf_downstream_tpu.utils.calibrate import _adjacency_orders
+
+    for n in (2, 3, 4, 5, 8):
+        orders = _adjacency_orders(n) + [np.arange(n)]
+        seen = set()
+        for o in orders:
+            assert sorted(o.tolist()) == list(range(n))  # real permutation
+            for a, b in zip(o[:-1], o[1:]):
+                seen.add((int(a), int(b)))
+        want = {(a, b) for a in range(n) for b in range(n) if a != b}
+        assert seen == want, f"n={n}: missing {want - seen}"
+
+
 def test_calibrate_derives_consistent_knobs(rng):
     from nerf_downstream_tpu.utils import calibrate as C
 

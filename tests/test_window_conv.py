@@ -210,17 +210,15 @@ def test_plan_direct_matches_plan_from_map(rng):
     )
     assert int(plan.n_escaped) == 0 and int(inv_plan.n_escaped) == 0
     # idx semantics must agree entry-by-entry: same neighbor (relative to
-    # each plan's own starts) or same absence
+    # each plan's own starts) or same absence. idx is tile-major
+    # [G, nT, M, T]; absolute rank = start[g, t] + idx[g, t, m, :].
+    def absolute(p):
+        idxa = np.asarray(p.idx).astype(np.int64)
+        st = np.asarray(p.starts)[:, :, None, None]
+        return np.where(idxa >= 0, idxa + st, -1)
+
     for p_ref, p_new in [(plan_ref, plan), (inv_ref, inv_plan)]:
-        ref_abs = np.asarray(p_ref.idx).astype(np.int64)
-        new_abs = np.asarray(p_new.idx).astype(np.int64)
-        t = p_ref.tile
-        for g in range(ref_abs.shape[0]):
-            st_ref = np.repeat(np.asarray(p_ref.starts)[g], t)
-            st_new = np.repeat(np.asarray(p_new.starts)[g], t)
-            a = np.where(ref_abs[g] >= 0, ref_abs[g] + st_ref, -1)
-            b = np.where(new_abs[g] >= 0, new_abs[g] + st_new, -1)
-            np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(absolute(p_ref), absolute(p_new))
 
     w = jnp.asarray(rng.normal(size=(27, 12, 16)).astype(np.float32) * 0.1)
 
@@ -472,7 +470,8 @@ def test_match_pallas_interpret_matches_xla(rng, monkeypatch):
             qh, ql = packing.shift_keys(hi, lo, d_hi, d_lo, mask=sv.mask)
             q_hi.append(qh)
             q_lo.append(ql)
-        g_count, m, n = plan.idx.shape
+        g_count, nt, m, t = plan.idx.shape
+        n = nt * t
         q_hi = jnp.stack(q_hi).reshape(g_count, m, n)
         q_lo = jnp.stack(q_lo).reshape(g_count, m, n)
         with pltpu.force_tpu_interpret_mode():
@@ -508,11 +507,12 @@ def test_plan_idx_well_formed(rng):
         cov = plan.blocks * plan.window
         assert idx.min() >= -1 and idx.max() < cov
         # full k^3 same-set groups: valid members sit at consecutive ranks
-        if idx.shape[1] == 3:
+        # (member axis is 2 in the tile-major [G, nT, M, T] layout)
+        if idx.shape[2] == 3:
             valid = idx >= 0
-            lo = np.where(valid, idx, 1 << 30).min(axis=1)
-            span = np.where(valid, idx, -1).max(axis=1) - lo
-            both = valid.sum(axis=1) >= 2
+            lo = np.where(valid, idx, 1 << 30).min(axis=2)
+            span = np.where(valid, idx, -1).max(axis=2) - lo
+            both = valid.sum(axis=2) >= 2
             assert (span[both] < 3).all()
 
 
@@ -550,7 +550,7 @@ def test_pallas_kernels_match_xla(rng, monkeypatch):
     assert int(plan.n_escaped) == 0
     w = jnp.asarray(rng.normal(size=(27, 8, 8)).astype(np.float32) * 0.1)
     g_count = plan.starts.shape[0]
-    m = plan.idx.shape[1]
+    m = plan.idx.shape[2]
     w_perm = w[jnp.asarray(plan.perm)].reshape(g_count, m, 8, 8)
     feats_pad = jnp.concatenate(
         [sv.feats, jnp.zeros((2 * window, 8), sv.feats.dtype)], axis=0
@@ -606,7 +606,7 @@ def test_fused_backward_pallas_matches_xla(rng, monkeypatch):
     cout = 6
     w = jnp.asarray(rng.normal(size=(27, 8, cout)).astype(np.float32) * 0.1)
     g_count = plan.starts.shape[0]
-    m = plan.idx.shape[1]
+    m = plan.idx.shape[2]
     w_perm = w[jnp.asarray(plan.perm)].reshape(g_count, m, 8, cout)
     w_t = jnp.swapaxes(w_perm, -1, -2)
     feats_pad = jnp.concatenate(
