@@ -53,7 +53,9 @@ REPEATS = 3  # min-of-REPEATS wall filters pool-queue congestion spikes
 # overflow) still NaN-poison, so a throughput number from a truncated
 # run is impossible.
 BLOCK_BINDINGS = (
-    "CoordinateContext.grid_extent = 128\n"
+    # extent 160 = scene span 128 + the device ElasticDistortion
+    # displacement tail (~±13 voxels at magnitude 16)
+    "CoordinateContext.grid_extent = 160\n"
     'CoordinateContext.method = "hybrid"\n'
     "CoordinateContext.level_caps = (65536, 14848, 3584, 1024, 512)\n"
     "CoordinateContext.window_tile = 256\n"
@@ -67,7 +69,15 @@ BLOCK_BINDINGS = (
     # candidate-tile budgets keep the search cost proportional.
     "CoordinateContext.window_escape_cap = (8192, 2048, 512, 512, 0)\n"
     "CoordinateContext.window_escape_tiles = (64, 12, 6, 6, 6)\n"
-    "field_to_sparse.assume_unique = True\n"
+    # flagship parity: the device elastic warp runs before quantization,
+    # so duplicate cells exist and must be averaged (the assume_unique
+    # collision guard would NaN-poison) — same reason the flagship gin
+    # binds False (scannet_plenoxel.gin:110-114)
+    "field_to_sparse.assume_unique = False\n"
+    # the flagship ED recipe (scannet_plenoxel.gin:32-33) — the class
+    # default would run a second (8, 24) pass the flagship doesn't
+    "ElasticDistortion.distortion_params = [(4, 16)]\n"
+    "ElasticDistortion.application_ratio = 0.7\n"
 )
 
 
@@ -105,9 +115,9 @@ def _make_task(jnp, sparse=None, num_batches=SCENES):
     return SegmentationTraining(
         model, optimizer_name="SGD", scheduler_name="none", lr=0.1,
         ignore_label=-100,
-        # flagship-config parity: feature jitter rides the device step
-        # (scannet_plenoxel.gin train.device_transforms)
-        device_transforms=("RandomFeatureJitter",),
+        # flagship-config parity: feature jitter AND the elastic warp ride
+        # the device step (scannet_plenoxel.gin train.device_transforms)
+        device_transforms=("RandomFeatureJitter", "ElasticDistortion"),
     )
 
 
@@ -403,11 +413,16 @@ def bench_2d(arch: str, batch: int = 128):
     return batch / best
 
 
-def bench_input_pipeline(tmpdir: str):
+def bench_input_pipeline(tmpdir: str, workers: int = 8,
+                         worker_mode: str = "thread"):
     """Host-side batch time: real npz decode + the flagship transform stack
-    through DataModule's thread prefetcher, at bench scale. Proves (or
+    through DataModule's prefetcher, at bench scale. Proves (or
     refutes) data_time < device step time overlap — the reference logs
-    exactly this pair in production (segmentation_training.py:92-93)."""
+    exactly this pair in production (segmentation_training.py:92-93).
+    ``workers``/``worker_mode`` drive the worker-scaling rows (process
+    workers parallelize across cores on real TPU-VM hosts; this bench
+    host has 1 core, so the rows document the mechanism's overhead
+    floor, not its scaling)."""
     import pickle
 
     from nerf_downstream_tpu import config as cfg
@@ -447,17 +462,18 @@ def bench_input_pipeline(tmpdir: str):
         '"CoordinateDropout", "RandomFeatureJitter", '
         '"RandomHorizontalFlip", "RandomTranslation", '
         '"ElasticDistortion"]\n'
-        # flagship parity: jitter leaves the host Compose for the device
-        # step (scannet_plenoxel.gin binds the same)
-        'train.device_transforms = ["RandomFeatureJitter"]\n'
+        # flagship parity: jitter + elastic warp leave the host Compose
+        # for the device step (scannet_plenoxel.gin binds the same)
+        'train.device_transforms = '
+        '["RandomFeatureJitter", "ElasticDistortion"]\n'
         'PlenoxelScannetDataset.features = ["sh"]\n'
         "RandomCrop.x = 200\nRandomCrop.y = 200\nRandomCrop.z = 200\n"
         "ElasticDistortion.distortion_params = [(4, 16)]\n"
         "CoordinateContext.grid_extent = 320\n"
     )
     dm = DataModule(
-        batch_size=SCENES, train_num_workers=8, capacity=CAPACITY,
-        dataset_cls=PlenoxelScannetDataset,
+        batch_size=SCENES, train_num_workers=workers, capacity=CAPACITY,
+        dataset_cls=PlenoxelScannetDataset, worker_mode=worker_mode,
     )
     it = dm.train_batches()
     next(it)  # warm (thread pool spin-up, file cache)
@@ -493,6 +509,15 @@ def main():
         extra["data_over_step"] = round(
             extra["data_time_ms"] / extra["step_ms"], 2
         )
+        # worker-scaling rows (process workers; 1-core bench host => the
+        # rows measure fork-pool overhead, scaling needs real multi-core)
+        for nw in (2, 4):
+            with tempfile.TemporaryDirectory() as td:
+                extra[f"data_time_proc{nw}_ms"] = round(
+                    bench_input_pipeline(
+                        td, workers=nw, worker_mode="process"
+                    ) * 1e3, 1,
+                )
         extra.update(bench_eval_latency())
         extra.update(bench_serving_latency())
         extra["resnet18_2d_img_per_sec"] = round(bench_2d("resnet18"), 1)

@@ -476,7 +476,7 @@ class PerlinNoise:
         gmin = np.floor(g.min(0)) - 1
         gmax = np.floor(g.max(0)) + 2
         dims = (gmax - gmin + 1).astype(int)
-        noise = _rng.standard_normal((*dims, 3)).astype(np.float32)
+        noise = _rng.standard_normal((*dims, 3), dtype=np.float32)
         noise = _box_smooth3(noise, iterations=1)
         # uniform unit-spaced grid at origin gmin -> direct trilinear
         return coords + std * _trilinear_uniform(noise, gmin, 1.0, g)
@@ -490,17 +490,25 @@ class PerlinNoise:
 
 @cfg.configurable
 class ElasticDistortion:
-    """Blurred noise-grid displacement field (transforms.py:535-594)."""
+    """Blurred noise-grid displacement field (transforms.py:535-594).
+
+    ``max_extent`` is only consumed by the device twin
+    (data/device_transforms.py): the static per-scene noise-grid size the
+    jitted step allocates. The host path ignores it (grids are sized per
+    scene)."""
 
     def __init__(self, distortion_params=((4, 16), (8, 24)),
-                 application_ratio=0.9):
+                 application_ratio=0.9, max_extent=None):
         self.distortion_params = distortion_params
         self.application_ratio = application_ratio
+        self.max_extent = max_extent
 
     def _distort(self, coords, granularity, magnitude):
         coords_min = coords.min(0)
         noise_dim = ((coords - coords_min).max(0) // granularity).astype(int) + 3
-        noise = _rng.standard_normal((*noise_dim, 3)).astype(np.float32)
+        # float32 generation: same distribution, half the RNG cost (the
+        # float64 default was ~half this transform's host time)
+        noise = _rng.standard_normal((*noise_dim, 3), dtype=np.float32)
         noise = _box_smooth3(noise, iterations=2)
         # the ax grids are uniform (linspace spacing == granularity), so
         # the generic scipy interpolator reduces to uniform trilinear
@@ -607,6 +615,18 @@ TRANSFORMS = {
     and name not in ("Compose",)
 }
 
+# transforms that read or write coordinates (vs feature-only): moving one
+# of these to the device reorders it after every host transform, which is
+# only sound when it was already last among the coordinate transforms
+COORD_AFFECTING = frozenset(
+    name for name in TRANSFORMS
+    if name not in (
+        "RandomFeatureJitter", "ChromaticTranslation",
+        "ChromaticAutoContrast", "ChromaticJitter", "NormalizeColor",
+        "HueSaturationTranslation",
+    )
+)
+
 
 def build(
     names: Sequence[str], device_ok: bool = False
@@ -635,6 +655,25 @@ def build(
                 f"train.device_transforms lists non-device-capable "
                 f"transforms: {sorted(bad)}"
             )
+        moved_coord = [
+            i for i, n in enumerate(names)
+            if n in on_device and n in COORD_AFFECTING
+        ]
+        if moved_coord:
+            last_host_coord = max(
+                (
+                    i for i, n in enumerate(names)
+                    if n in COORD_AFFECTING and n not in on_device
+                ),
+                default=-1,
+            )
+            if last_host_coord > min(moved_coord):
+                raise ValueError(
+                    "device-moved coordinate transforms "
+                    f"({[names[i] for i in moved_coord]}) run after every "
+                    "host transform; they must already be last among the "
+                    f"coordinate transforms in {list(names)}"
+                )
         names = [n for n in names if n not in on_device]
         if not names:
             return None

@@ -100,7 +100,10 @@ class BaseTask:
         # names from their host Compose via transforms.build(device_ok=)
         from nerf_downstream_tpu.data import device_transforms as DT
 
-        self._device_aug = DT.build(device_transforms)
+        self._device_aug = DT.build(
+            device_transforms,
+            num_scenes=getattr(model, "num_batches", None),
+        )
         self._train_step_cache = {}
         self._eval_step_cache = None
         self.schedule = None
@@ -279,6 +282,17 @@ class BaseTask:
     def validation_epoch_end(self, step_results: list, root_dir: str) -> dict:
         raise NotImplementedError
 
+    def validation_sums(self):
+        """Host-side validation accumulators as a pytree of SUMS (or None).
+        Under multi-process the Trainer allgathers+adds these across
+        processes before ``validation_epoch_end`` (each process only
+        scored its local rows) — the reference relies on torchmetrics'
+        distributed-sum state for the same (src/metrics.py:5-58)."""
+        return None
+
+    def set_validation_sums(self, sums):
+        pass
+
 
 def _weighted_ce(logits, labels, valid, class_weight, axis_name=None):
     """torch-style weighted cross entropy: sum(w_y * nll) / sum(w_y).
@@ -384,6 +398,12 @@ class SegmentationTraining(BaseTask):
             logging.info(f"saved prediction for {inst}")
         self._val_batch_idx += 1
 
+    def validation_sums(self):
+        return self.iou_state
+
+    def set_validation_sums(self, sums):
+        self.iou_state = sums
+
     def validation_epoch_end(self, step_results, root_dir):
         assert len(step_results) > 0
         out = {}
@@ -472,6 +492,17 @@ class ClassificationTraining(BaseTask):
             ((order[:, :5] == labels[:, None]).any(-1) & valid).sum()
         )
         self._val_count += int(valid.sum())
+
+    def validation_sums(self):
+        return np.array(
+            [self._val_correct1, self._val_correct5, self._val_count],
+            np.int64,
+        )
+
+    def set_validation_sums(self, sums):
+        self._val_correct1, self._val_correct5, self._val_count = (
+            int(x) for x in np.asarray(sums)
+        )
 
     def validation_epoch_end(self, step_results, root_dir):
         assert len(step_results) > 0

@@ -178,6 +178,35 @@ def _permuted(batch: dict, order: np.ndarray) -> dict:
     return dict(batch, coordinates=coords)
 
 
+def _apply_device_coord_transforms(batch: dict, seed: int = 0) -> dict:
+    """Calibration must measure the coordinate distribution the MODEL sees:
+    coordinate transforms moved into the jitted step
+    (``train.device_transforms``, e.g. ElasticDistortion) warp coords
+    AFTER collate, so their host twins are applied to the scanned batch
+    here — otherwise the derived escape caps undershoot the warped spans
+    and the run NaN-poisons mid-training."""
+    from nerf_downstream_tpu.data import device_transforms as DT
+    from nerf_downstream_tpu.data import transforms as T
+
+    names = [
+        n for n in DT.configured_names() if n in T.COORD_AFFECTING
+    ]
+    if not names:
+        return batch
+    T.seed(seed)
+    tfs = [T.TRANSFORMS[n]() for n in names]
+    coords = np.array(batch["coordinates"], copy=True)
+    mask = np.asarray(batch["mask"]).astype(bool)
+    sidx = coords[:, 0].astype(np.int64)
+    for s in np.unique(sidx[mask]):
+        rows = mask & (sidx == s)
+        xyz = coords[rows, 1:4]
+        for t in tfs:
+            xyz, _, _ = t(xyz, None, None)
+        coords[rows, 1:4] = xyz
+    return dict(batch, coordinates=coords)
+
+
 def calibrate(
     batches: Iterable[dict],
     tile: int = 256,
@@ -194,7 +223,7 @@ def calibrate(
     ``permutations`` random scene orders (shuffle robustness).
     """
     rng = np.random.default_rng(seed)
-    batches = list(batches)
+    batches = [_apply_device_coord_transforms(b, seed) for b in batches]
     assert batches, "calibration needs at least one batch"
     n_scenes = int(
         max(np.asarray(b["coordinates"])[:, 0].max() for b in batches)
@@ -356,11 +385,17 @@ def bind(knobs: dict):
         cfg.bind("CoordinateContext", k, v)
 
 
-def maybe_auto_calibrate(data_module, num_batches: int = 2, **kw) -> bool:
+def maybe_auto_calibrate(
+    data_module, num_batches: int = 2, dry_run: bool = False, **kw
+) -> bool:
     """Measure-and-bind when the windowed path is active and the caps are
     unbound — ME-style it-just-works generality under static shapes. Reads
     a few train batches through the real DataModule (real transforms,
-    real collate). Returns True when bindings were installed."""
+    real collate). Returns True when bindings were installed.
+
+    ``dry_run``: only report whether calibration WOULD run (multi-process
+    launchers use this to fail loudly instead of letting each process scan
+    its own data shard and derive divergent static shapes)."""
     caps = cfg.query_parameter("CoordinateContext.level_caps", default=None)
     esc = cfg.query_parameter(
         "CoordinateContext.window_escape_cap", default=None
@@ -374,6 +409,8 @@ def maybe_auto_calibrate(data_module, num_batches: int = 2, **kw) -> bool:
     # binds any of them is a measured config — don't second-guess it
     if caps is not None or esc is not None or not windowed:
         return False
+    if dry_run:
+        return True
     tile = cfg.query_parameter("CoordinateContext.window_tile", default=256)
     win = cfg.query_parameter("CoordinateContext.window_size", default=128)
     kw.setdefault("tile", int(tile))

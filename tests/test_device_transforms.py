@@ -33,7 +33,7 @@ def _batch(n=512, valid=400, c=28, scenes=4, rng=None):
 
 def test_build_rejects_non_capable():
     with pytest.raises(ValueError, match="not device-capable"):
-        DT.build(["ElasticDistortion"])
+        DT.build(["PerlinNoise"])
 
 
 def test_host_compose_drops_configured_names():
@@ -49,9 +49,9 @@ def test_host_compose_drops_configured_names():
 
 
 def test_host_compose_rejects_non_capable_binding():
-    cfg.parse_config('train.device_transforms = ["ElasticDistortion"]')
+    cfg.parse_config('train.device_transforms = ["PerlinNoise"]')
     with pytest.raises(ValueError, match="non-device-capable"):
-        T.build(["ElasticDistortion"], device_ok=True)
+        T.build(["PerlinNoise"], device_ok=True)
 
 
 def test_feature_jitter_semantics():
@@ -127,6 +127,122 @@ def test_chromatic_translation_device():
         f1[:, 3:], np.asarray(batch["features"])[:, 3:]
     )
     np.testing.assert_array_equal(f1[~mask], np.asarray(feats)[~mask])
+
+
+def test_masked_box_blur_matches_host():
+    """Device blur of a statically-sized grid (cells zeroed past each
+    scene's own dims) == host _box_smooth3 of the dims-sized grid."""
+    rng = np.random.default_rng(7)
+    d = 12
+    dims = np.array([[9, 7, 11], [12, 12, 12]], np.int32)
+    noise = rng.normal(size=(2, d, d, d, 3)).astype(np.float32)
+    out = np.asarray(
+        DT._masked_box_blur(jnp.asarray(noise), jnp.asarray(dims))
+    )
+    for s in range(2):
+        dx, dy, dz = dims[s]
+        host = T._box_smooth3(noise[s, :dx, :dy, :dz], iterations=2)
+        np.testing.assert_allclose(
+            out[s, :dx, :dy, :dz], host, rtol=1e-5, atol=1e-6
+        )
+
+
+def test_trilinear_scenes_matches_host():
+    rng = np.random.default_rng(8)
+    d = 10
+    noise = rng.normal(size=(3, d, d, d, 3)).astype(np.float32)
+    n = 200
+    sidx = rng.integers(0, 3, n).astype(np.int32)
+    # positions inside the grid, incl. exact upper boundary
+    gpos = rng.uniform(0, d - 1, (n, 3)).astype(np.float32)
+    gpos[:5] = d - 1
+    out = np.asarray(
+        DT._trilinear_scenes(
+            jnp.asarray(noise), jnp.asarray(sidx), jnp.asarray(gpos)
+        )
+    )
+    for s in range(3):
+        rows = sidx == s
+        host = T._trilinear_uniform(noise[s], 0.0, 1.0, gpos[rows])
+        np.testing.assert_allclose(out[rows], host, rtol=1e-4, atol=1e-5)
+
+
+def test_elastic_distortion_device_semantics():
+    cfg.parse_config(
+        "ElasticDistortion.distortion_params = [(4, 16)]\n"
+        "ElasticDistortion.application_ratio = 1.0\n"
+        "ElasticDistortion.max_extent = 64\n"
+    )
+    fn = DT.build(["ElasticDistortion"], num_scenes=4)
+    batch = _batch()
+    out = jax.jit(fn)(batch, jax.random.PRNGKey(4))
+    c0 = np.asarray(batch["coordinates"])
+    c1 = np.asarray(out["coordinates"])
+    mask = np.asarray(batch["mask"])
+    # scene column and padding rows untouched; features untouched
+    np.testing.assert_array_equal(c1[:, 0], c0[:, 0])
+    np.testing.assert_array_equal(c1[~mask], c0[~mask])
+    np.testing.assert_array_equal(
+        np.asarray(out["features"]), np.asarray(batch["features"])
+    )
+    # every valid voxel moved, by a plausible magnitude for the host
+    # field: |disp| ~ magnitude * |smoothed noise| (std ~ 0.2 per axis)
+    disp = c1[mask, 1:] - c0[mask, 1:]
+    assert np.isfinite(disp).all()
+    assert (np.abs(disp).sum(axis=1) > 0).all()
+    assert 0.5 < np.abs(disp).std() < 16.0
+    host_std = []
+    ed = T.TRANSFORMS["ElasticDistortion"](
+        distortion_params=[(4, 16)], application_ratio=1.0
+    )
+    for s in range(4):
+        rows = mask & (np.asarray(c0[:, 0]) == s)
+        hc, _, _ = ed(c0[rows, 1:].copy(), None, None)
+        host_std.append((hc - c0[rows, 1:]).std())
+    # same distribution family: stds within 2x of the host's
+    r = np.abs(disp).std() / np.mean(host_std)
+    assert 0.5 < r < 2.0, r
+
+
+def test_elastic_distortion_overflow_poisons():
+    """A scene wider than the static grid bound NaN-poisons the coords
+    (fail loud) instead of silently clamping the displacement field."""
+    cfg.parse_config(
+        "ElasticDistortion.distortion_params = [(4, 16)]\n"
+        "ElasticDistortion.application_ratio = 1.0\n"
+        "ElasticDistortion.max_extent = 16\n"  # scenes span ~64
+    )
+    fn = DT.build(["ElasticDistortion"], num_scenes=4)
+    out = jax.jit(fn)(_batch(), jax.random.PRNGKey(5))
+    assert not np.isfinite(
+        np.asarray(out["coordinates"][:, 1:])
+    ).all()
+
+
+def test_elastic_distortion_requires_num_scenes():
+    cfg.parse_config("ElasticDistortion.max_extent = 64")
+    with pytest.raises(ValueError, match="scene count"):
+        DT.build(["ElasticDistortion"])
+
+
+def test_device_coord_transform_order_guard():
+    """A device-moved coordinate transform that is NOT last among the host
+    list's coordinate transforms is rejected (it would reorder)."""
+    cfg.parse_config(
+        'train.device_transforms = ["ElasticDistortion"]\n'
+        "ElasticDistortion.max_extent = 64\n"
+    )
+    with pytest.raises(ValueError, match="last among the coordinate"):
+        T.build(
+            ["ElasticDistortion", "RandomHorizontalFlip"], device_ok=True
+        )
+    # feature transforms after it are fine
+    comp = T.build(
+        ["RandomHorizontalFlip", "ElasticDistortion", "NormalizeColor"],
+        device_ok=True,
+    )
+    kept = [type(t).__name__ for t in comp.transforms]
+    assert kept == ["RandomHorizontalFlip", "NormalizeColor"]
 
 
 def test_train_step_applies_device_jitter():
