@@ -140,20 +140,43 @@ def train(
 
     import jax
 
+    # multi-process (pod) bookkeeping: --gpus is the GLOBAL device count;
+    # each process loads its stride of the filelist and produces
+    # batch_size/process_count scenes per step, sharded over its LOCAL
+    # devices — the Trainer assembles the global batch
+    # (jax.make_array_from_process_local_data)
+    procs = jax.process_count()
+    local_bs, local_val_bs = batch_size, val_batch_size
+    if procs > 1:
+        if gspmd:
+            raise NotImplementedError(
+                "parallel_mode='gspmd' is single-process for now; use "
+                "'ddp' for multi-process runs"
+            )
+        assert gpus % procs == 0, (gpus, procs)
+        assert batch_size % procs == 0 and val_batch_size % procs == 0
+        local_bs = batch_size // procs
+        local_val_bs = val_batch_size // procs
+        if capacity is not None:
+            # capacity is the GLOBAL row budget (split per shard inside
+            # the DataModule); each process carries its share
+            assert capacity % procs == 0
+            capacity = capacity // procs
+
     data_module = DataModule(
         train_phase=train_phase,
         val_phase=val_phase,
         test_phase=test_phase,
-        batch_size=batch_size,
-        val_batch_size=val_batch_size,
+        batch_size=local_bs,
+        val_batch_size=local_val_bs,
         train_num_workers=train_num_workers,
         val_num_workers=val_num_workers,
         collate_func_name=collate_func_name,
         ignore_label=ignore_label,
         capacity=capacity,
         process_index=jax.process_index(),
-        process_count=jax.process_count(),
-        shards=1 if gspmd else max(gpus, 1),
+        process_count=procs,
+        shards=1 if gspmd else max(gpus // procs, 1),
     )
 
     if auto_calibrate:
@@ -162,7 +185,18 @@ def train(
         # generality under static shapes; no-op for measured configs
         from nerf_downstream_tpu.utils.calibrate import maybe_auto_calibrate
 
-        if maybe_auto_calibrate(data_module):
+        if procs > 1:
+            # per-process scans would derive divergent static shapes ->
+            # divergent compiled programs across the pod; pin the caps
+            # offline (co3d_3d/calibrate.py) and --ginc the result
+            if maybe_auto_calibrate(data_module, dry_run=True):
+                raise ValueError(
+                    "multi-process runs need pinned capacity knobs: run "
+                    "python -m co3d_3d.calibrate offline and compose the "
+                    "generated gin (auto-calibration scans per-process "
+                    "data shards and would diverge)"
+                )
+        elif maybe_auto_calibrate(data_module):
             logging.info("auto-calibrated windowed-conv capacity knobs")
 
     task = get_training_module(training_module)(
@@ -230,8 +264,9 @@ def train(
 
     if evaluate:
         results = trainer.test(state, ckpt_path="best", phase=test_phase)
-        with open(os.path.join(save_path, "eval_results.json"), "w") as f:
-            json.dump({k: float(v) for k, v in results.items()}, f)
+        if jax.process_index() == 0:  # rank-zero artifact (shared FS)
+            with open(os.path.join(save_path, "eval_results.json"), "w") as f:
+                json.dump({k: float(v) for k, v in results.items()}, f)
     return state
 
 
@@ -243,9 +278,21 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--run_name", type=str, default=None)
     parser.add_argument("--run_name_postfix", type=str, default=None)
-    parser.add_argument("--gpus", type=int, default=1, help="data-parallel devices")
+    parser.add_argument(
+        "--gpus", type=int, default=1,
+        help="data-parallel devices (GLOBAL count under multi-process)",
+    )
     parser.add_argument("--seed", type=int, default=777)
     parser.add_argument("--debug", action="store_true")
+    # multi-host launch (the reference's SLURM srun per-node processes,
+    # sbatch.sh:1-44): each process joins the jax.distributed coordination
+    # service and contributes its local devices to the global mesh
+    parser.add_argument(
+        "--dist_coordinator", type=str, default=None,
+        help="coordinator address host:port (enables jax.distributed)",
+    )
+    parser.add_argument("--dist_num_processes", type=int, default=None)
+    parser.add_argument("--dist_process_id", type=int, default=None)
     args = parser.parse_args(argv)
 
     run_name = args.run_name if args.run_name is not None else "default"
@@ -255,6 +302,13 @@ def main(argv=None):
     setup_logger(run_name, args.debug)
 
     import jax
+
+    if args.dist_coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_num_processes,
+            process_id=args.dist_process_id,
+        )
 
     logging.info(f"Found {len(jax.devices())} devices: {jax.devices()}")
     ginbs = [f"train.gpus={args.gpus}"]

@@ -30,8 +30,10 @@ _X_BIAS = 1 << (_X_BITS - 1)
 _Y_BIAS = 1 << (_Y_BITS - 1)
 _Z_BIAS = 1 << (_Z_BITS - 1)
 
-# Invalid rows sort after every valid key.
-INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+# Invalid rows sort after every valid key. (numpy scalar, NOT jnp: a
+# module-level jnp constant initializes the XLA backend at import, which
+# breaks jax.distributed.initialize in multi-process CLIs)
+INVALID_KEY = np.uint32(0xFFFFFFFF)
 
 
 def pack(coords: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -132,6 +132,8 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _log(self, metrics: dict, step: int):
+        if not self._rank0():  # rank-zero logging (shared FS / services)
+            return
         for lg in self.loggers:
             lg.log_metrics(metrics, step)
 
@@ -142,9 +144,22 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _rank0() -> bool:
+        return jax.process_count() == 1 or jax.process_index() == 0
+
+    def _local_shards(self) -> int:
+        """Data shards THIS process contributes (== devices when
+        single-process; devices/process_count on a pod, where the
+        DataModule already yields the per-process share)."""
+        return max(self.devices // jax.process_count(), 1)
+
     def _place_batch(self, batch: dict) -> dict:
         """Shard array leaves over the mesh's data axis (replicate leaves
-        whose leading dim doesn't split evenly — scalars, per-batch ints)."""
+        whose leading dim doesn't split evenly — scalars, per-batch ints).
+        Multi-process: each process holds its local share; the global
+        array is assembled with make_array_from_process_local_data (the
+        per-host input feeding that replaces DistributedSampler)."""
         if self.mesh is None:
             return batch
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -152,6 +167,21 @@ class Trainer:
         n_data = int(self.mesh.shape["data"])
         row = NamedSharding(self.mesh, P("data"))
         rep = NamedSharding(self.mesh, P())
+        procs = jax.process_count()
+        if procs > 1:
+            n_local = max(n_data // procs, 1)
+
+            def put(v):
+                v = np.asarray(v)
+                sh = (
+                    row
+                    if v.ndim >= 1 and v.shape[0]
+                    and v.shape[0] % n_local == 0
+                    else rep
+                )
+                return jax.make_array_from_process_local_data(sh, v)
+
+            return {k: put(v) for k, v in batch.items()}
 
         def put(v):
             v = np.asarray(v)
@@ -161,14 +191,57 @@ class Trainer:
 
         return {k: put(v) for k, v in batch.items()}
 
+    @staticmethod
+    def _local_rows(arr):
+        """This process's rows of a (possibly non-addressable) global
+        array, in local-batch order: under multi-process the eval step
+        returns GLOBAL logits while host-side metric hooks hold the LOCAL
+        batch, so the hooks get the matching local slice. Single-process
+        (fully addressable) arrays pass through."""
+        if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+            return arr
+        seen, parts = set(), []
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0 if s.index else 0
+            if start in seen:  # replicated copies
+                continue
+            seen.add(start)
+            parts.append((start, np.asarray(s.data)))
+        parts.sort(key=lambda p: p[0])
+        return np.concatenate([p for _, p in parts], axis=0)
+
+    def _reduce_validation_sums(self, task):
+        """Cross-process allreduce of the task's host-side validation
+        accumulators (IoU / top-k count sums): each process only saw its
+        local rows, so the sums must be added over processes before
+        ``validation_epoch_end`` — the reference gets this from
+        torchmetrics' distributed-sum state (src/metrics.py:5-58)."""
+        if jax.process_count() == 1:
+            return
+        sums = task.validation_sums()
+        if sums is None:
+            return
+        from jax.experimental import multihost_utils
+
+        task.set_validation_sums(
+            jax.tree_util.tree_map(
+                lambda x: np.asarray(
+                    multihost_utils.process_allgather(np.asarray(x))
+                ).sum(axis=0),
+                sums,
+            )
+        )
+
     def _local_slice(self, batch: dict) -> dict:
         """First shard's rows of a shard-partitioned batch (for state init:
-        the model is built with per-device shapes)."""
+        the model is built with per-device shapes). ``batch`` is this
+        process's LOCAL batch, covering _local_shards() shards."""
+        shards = self._local_shards()
         out = {}
         for k, v in batch.items():
             v = np.asarray(v)
-            if v.ndim >= 1 and v.shape[0] % self.devices == 0 and v.shape[0]:
-                out[k] = v[: v.shape[0] // self.devices]
+            if v.ndim >= 1 and v.shape[0] % shards == 0 and v.shape[0]:
+                out[k] = v[: v.shape[0] // shards]
             else:
                 out[k] = v
         return out
@@ -203,6 +276,13 @@ class Trainer:
                 f"Resumed from {self.resume_from_checkpoint} at step "
                 f"{raw['global_step']}"
             )
+
+        # multi-process: establish the cross-host collective context NOW,
+        # while the ranks are still in lockstep — a tiny psum compiles in
+        # seconds on every rank, whereas deferring context creation to the
+        # first (big) train step risks per-rank compile skew exceeding the
+        # Gloo/ICI rendezvous timeout
+        self._barrier("fit_start")
 
         if self.mesh is not None and self.parallel_mode == "gspmd":
             from nerf_downstream_tpu.parallel.gspmd import (
@@ -272,10 +352,19 @@ class Trainer:
             self._check_finite_loss(
                 {k: float(np.asarray(v)) for k, v in mets.items()}
             )
-        checkpoints.save_checkpoint(self.last_ckpt_path, state)
-        if not os.path.exists(self.best_ckpt_path):
-            checkpoints.save_checkpoint(self.best_ckpt_path, state)
+        if self._rank0():
+            checkpoints.save_checkpoint(self.last_ckpt_path, state)
+            if not os.path.exists(self.best_ckpt_path):
+                checkpoints.save_checkpoint(self.best_ckpt_path, state)
+        self._barrier("fit_end")  # ckpts visible before any rank reads
         return state
+
+    @staticmethod
+    def _barrier(tag: str):
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ndt_{tag}")
 
     @staticmethod
     def _check_finite_loss(mets, phase: str = "train"):
@@ -313,17 +402,22 @@ class Trainer:
         self._log(out, step)
 
     def _maybe_checkpoint(self, state, val_metrics: dict):
-        checkpoints.save_checkpoint(self.last_ckpt_path, state)
+        if self._rank0():
+            checkpoints.save_checkpoint(self.last_ckpt_path, state)
         score = val_metrics.get(self.monitor_metric)
         if score is not None and self._is_better(score):
+            # metrics are psum'd, so every rank tracks the same best_score;
+            # only rank 0 writes the shared-FS artifact
             self.best_score = score
-            checkpoints.save_checkpoint(
-                self.best_ckpt_path, state, meta={self.monitor_metric: score}
-            )
-            logging.info(
-                f"New best {self.monitor_metric}={score:.4f} -> "
-                f"{self.best_ckpt_path}"
-            )
+            if self._rank0():
+                checkpoints.save_checkpoint(
+                    self.best_ckpt_path, state,
+                    meta={self.monitor_metric: score},
+                )
+                logging.info(
+                    f"New best {self.monitor_metric}={score:.4f} -> "
+                    f"{self.best_ckpt_path}"
+                )
 
     # ------------------------------------------------------------------
 
@@ -346,11 +440,12 @@ class Trainer:
             )
             jax.block_until_ready(logits)
             iter_time = time.perf_counter() - t0
-            task.validation_batch_end(logits, batch)
+            task.validation_batch_end(self._local_rows(logits), batch)
             host = {k: float(np.asarray(v)) for k, v in mets.items()}
             self._check_finite_loss(host, phase=phase)
             host["iter_time"] = iter_time
             results.append(host)
+        self._reduce_validation_sums(task)
         out = task.validation_epoch_end(results, self.default_root_dir)
         step = int(state.step)
         for k in ["OA", "loss", "iter_time"]:
@@ -368,6 +463,7 @@ class Trainer:
             ckpt_path = self.best_ckpt_path
         elif ckpt_path == "last":
             ckpt_path = self.last_ckpt_path
+        self._barrier("test_ckpt_read")  # rank 0 writes; all ranks read
         if ckpt_path and os.path.exists(ckpt_path):
             raw = checkpoints.load_checkpoint(ckpt_path)
             state = checkpoints.restore_into(state, raw, weights=True)
