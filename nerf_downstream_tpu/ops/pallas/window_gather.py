@@ -33,11 +33,20 @@ output row) without shrinking the tile into Pallas-grid dust.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    """``NDT_WINDOW_PALLAS=interpret`` runs these kernels through the
+    Pallas interpreter on any backend — the CPU correctness tier for
+    small hosts (tests/test_window_kernels.py), where the Mosaic compiles
+    of the real TPU path are unaffordable."""
+    return os.environ.get("NDT_WINDOW_PALLAS") == "interpret"
 
 
 def _win_specs_all_groups(window, c, blocks, g_count):
@@ -166,6 +175,7 @@ def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm,
             bytes_accessed=blocks * n_out * c * g_count + n_out * cout * 4,
             transcendentals=0,
         ),
+        interpret=_interpret(),
     )(starts, idx_p, w_perm, *([feats_pad] * g_count * blocks))
 
 
@@ -174,8 +184,8 @@ def _match_kernel(g_count, m, blocks, starts_ref, qh_ref, ql_ref, *refs):
     lo_refs = refs[g_count * blocks:2 * g_count * blocks]
     idx_ref = refs[-1]
     tile = qh_ref.shape[-1]
-    qh_all = qh_ref[:]  # [G, 1, M, T]
-    ql_all = ql_ref[:]
+    qh_all = qh_ref[:]  # [G, M, T] (queries stream in their natural
+    ql_all = ql_ref[:]  # [G, M, N] layout — no tile-major relayout copy)
     for g in range(g_count):
         win_hi = jnp.concatenate(
             [r[:] for r in hi_refs[g * blocks:(g + 1) * blocks]], axis=0
@@ -186,8 +196,8 @@ def _match_kernel(g_count, m, blocks, starts_ref, qh_ref, ql_ref, *refs):
         w2 = win_hi.shape[0]
         iota = jax.lax.broadcasted_iota(jnp.int32, (w2, tile), 0)
         for j in range(m):
-            qh = qh_all[g, 0, j].reshape(1, tile)
-            ql = ql_all[g, 0, j].reshape(1, tile)
+            qh = qh_all[g, j].reshape(1, tile)
+            ql = ql_all[g, j].reshape(1, tile)
             match = (win_hi == qh) & (win_lo == ql)  # [cov, T]
             # keys are unique, so <=1 match per column; -1 where none
             idx_ref[g, 0, j, :] = jnp.max(jnp.where(match, iota, -1), axis=0)
@@ -214,21 +224,24 @@ def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
     lo_pad = jnp.concatenate(
         [lo.astype(i32), jnp.full((blocks * window,), -1, i32)]
     )[:, None]
-    qh_p = q_hi.astype(i32).reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
-    ql_p = q_lo.astype(i32).reshape(g_count, m, nt, tile).transpose(0, 2, 1, 3)
+    # queries stay [G, M, N]: the kernel's BlockSpec slices one tile
+    # column per grid step, so the [G,M,N] -> [G,nT,M,T] transpose copy
+    # (traced 2 x 0.83 ms/step at bench scale) never materializes
+    qh_p = q_hi.astype(i32)
+    ql_p = q_lo.astype(i32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (g_count, 1, m, tile),
-                lambda t, st: (0, t, 0, 0),
+                (g_count, m, tile),
+                lambda t, st: (0, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (g_count, 1, m, tile),
-                lambda t, st: (0, t, 0, 0),
+                (g_count, m, tile),
+                lambda t, st: (0, 0, t),
                 memory_space=pltpu.VMEM,
             ),
             *_win_specs_all_groups(window, 1, blocks, g_count),
@@ -248,6 +261,7 @@ def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
             bytes_accessed=8 * n_out * (g_count * m + blocks),
             transcendentals=0,
         ),
+        interpret=_interpret(),
     )(
         starts, qh_p, ql_p,
         *([hi_pad] * g_count * blocks), *([lo_pad] * g_count * blocks),
@@ -351,6 +365,7 @@ def window_bwd_pallas(g_pad, feats, inv_starts, inv_idx, w_t,
             jax.ShapeDtypeStruct((n_in, c), jnp.float32),
             jax.ShapeDtypeStruct((g_count, m, c, co), jnp.float32),
         ],
+        interpret=_interpret(),
     )(
         inv_starts, idx_p, feats, w_t,
         *([g_pad] * g_count * blocks),
@@ -419,6 +434,7 @@ def window_dw_pallas(feats_pad, starts, idx, g_out, tile, window,
         functools.partial(_dw_kernel, g_count, m, blocks, compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_count, m, c, cout), jnp.float32),
+        interpret=_interpret(),
     )(
         starts, idx_p, g_out.astype(compute_dtype),
         *([feats_pad] * g_count * blocks),

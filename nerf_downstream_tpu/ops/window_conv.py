@@ -246,7 +246,7 @@ def build_plan_direct(
         qh, ql = packing.shift_keys(b_hi, b_lo, d_hi, d_lo, mask=b_valid)
         qb_hi.append(qh)
         qb_lo.append(ql)
-    bnd = packing.lower_bound(
+    bnd = packing.lower_bound_hier(
         hi, lo, jnp.stack(qb_hi).reshape(-1), jnp.stack(qb_lo).reshape(-1)
     ).reshape(k, nt)
     # invalid boundary rows bound nothing; matches never rank >= n_valid_in
@@ -571,7 +571,12 @@ def transpose_plan(plan: WindowPlan, offsets: np.ndarray) -> WindowPlan | None:
 def _use_pallas() -> bool:
     import os
 
-    if os.environ.get("NDT_WINDOW_PALLAS", "1") != "1":
+    mode = os.environ.get("NDT_WINDOW_PALLAS", "1")
+    if mode == "interpret":
+        # Pallas interpreter on any backend: the CPU correctness tier for
+        # the kernels themselves (tests/test_window_kernels.py)
+        return True
+    if mode != "1":
         return False
     try:
         # the axon relay registers the TPU as platform "axon"

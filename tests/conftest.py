@@ -75,6 +75,22 @@ QUICK_TESTS = {
 }
 
 
+# Compile-heavy whales: each compiles many distinct window-plan/XLA shapes
+# and exceeds small-host time budgets (a 1-core judge box measured
+# test_calibrate.py alone > 9.5 min). Deselect with `-m 'not slow'`.
+SLOW_TESTS = {
+    "test_calibrate.py",
+    "test_multiprocess.py",
+    "test_cli_multiprocess.py",
+}
+
+# Pallas kernel bodies through the interpreter — CPU-runnable kernel
+# correctness (`pytest -m kernels`).
+KERNEL_TESTS = {
+    "test_window_kernels.py",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest as _pytest
 
@@ -85,3 +101,7 @@ def pytest_collection_modifyitems(config, items):
         test_fn = full.split("[", 1)[0]
         if fname in QUICK_TESTS or test_fn in QUICK_TESTS:
             item.add_marker(_pytest.mark.quick)
+        if fname in SLOW_TESTS or test_fn in SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)
+        if fname in KERNEL_TESTS or test_fn in KERNEL_TESTS:
+            item.add_marker(_pytest.mark.kernels)
