@@ -245,9 +245,19 @@ def bench_eval_latency():
 
     rng = np.random.default_rng(0)
     out = {}
+    # eval-phase overrides (last-wins): eval never augments, so the
+    # elastic warp the TRAIN bindings provision for does not exist here —
+    # inputs are the dataset's unwarped unique voxel grids within extent
+    # 128, exactly the r4 measurement conditions (the collision guard
+    # would NaN-poison if this declaration were wrong)
+    eval_bindings = (
+        BLOCK_BINDINGS
+        + "field_to_sparse.assume_unique = True\n"
+        + "CoordinateContext.grid_extent = 128\n"
+    )
     for name, sparse in [("dense", None), ("zaxis", [2] * 9)]:
         cfg.clear_config()
-        cfg.parse_config(BLOCK_BINDINGS)
+        cfg.parse_config(eval_bindings)
         batch = array_batch(make_batch(rng))
         task = _make_task(jnp, sparse=sparse)
         state = task.create_state(jax.random.PRNGKey(0), batch)

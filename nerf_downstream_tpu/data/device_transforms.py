@@ -131,21 +131,34 @@ def _trilinear_scenes(
     """Trilinear interpolation of per-scene grids ``noise`` [S,d,d,d,3] at
     grid-space positions ``gpos`` [N,3] belonging to scenes ``sidx`` [N].
     Host twin: transforms._trilinear_uniform (upper-boundary cells land on
-    the last cell with weight 1 via corner clamping)."""
+    the last cell with weight 1 via corner clamping).
+
+    Gather layout: rows keyed by (scene, x, y) carrying the full
+    [d_z * 3] slab — 4 WIDE row-gathers (one per xy corner) instead of 8
+    narrow [N, 3] ones (row-gathers are latency-bound per ROW on TPU;
+    the 8-corner form traced 8 x 0.40 ms/step at bench scale). The two z
+    corners collapse into a per-point z-weight vector applied as an
+    in-register reduce over the slab."""
     s, d = noise.shape[0], noise.shape[1]
     i0 = jnp.clip(jnp.floor(gpos).astype(jnp.int32), 0, d - 2)
     f = gpos - i0
-    flat = noise.reshape(s * d * d * d, 3)
-    base = ((sidx * d + i0[:, 0]) * d + i0[:, 1]) * d + i0[:, 2]
+    rows = noise.reshape(s * d * d, d * 3)
+    base = (sidx * d + i0[:, 0]) * d + i0[:, 1]
+    iota = jnp.arange(d, dtype=jnp.int32)[None, :]
+    wz = (
+        (iota == i0[:, 2:3]).astype(jnp.float32) * (1 - f[:, 2:3])
+        + (iota == i0[:, 2:3] + 1).astype(jnp.float32) * f[:, 2:3]
+    )  # [N, d] — exactly two non-zeros per row
     disp = jnp.zeros_like(gpos)
     for dx in (0, 1):
         wx = f[:, 0:1] if dx else 1 - f[:, 0:1]
         for dy in (0, 1):
             wy = f[:, 1:2] if dy else 1 - f[:, 1:2]
-            for dz in (0, 1):
-                wz = f[:, 2:3] if dz else 1 - f[:, 2:3]
-                idx = base + (dx * d + dy) * d + dz
-                disp = disp + (wx * wy * wz) * flat[idx]
+            slab = rows[base + dx * d + dy]  # [N, d*3]
+            zed = jnp.sum(
+                slab.reshape(-1, d, 3) * wz[:, :, None], axis=1
+            )  # [N, 3]
+            disp = disp + (wx * wy) * zed
     return disp
 
 

@@ -85,6 +85,36 @@ def lower_bound(s_hi, s_lo, q_hi, q_lo):
     return lo_i
 
 
+def lower_bound_hier(s_hi, s_lo, q_hi, q_lo, block: int = 256):
+    """``lower_bound`` without the binary-search loop: two-level
+    hierarchical count for SMALL query sets.
+
+    The fori_loop binary search costs ~17 serial gather rounds; traced at
+    ~3 ms/step for the K*(nT+1) ~= 7k tile-boundary queries of each plan
+    build (round-5 log). Here level A counts block-top keys < query (one
+    [Q, N/block] broadcast compare), level B row-gathers the one candidate
+    block and counts inside it — fully static, two compares and one
+    row-gather total. Memory is Q*N/block ints, so this is for boundary-
+    scale Q (thousands), not the match fallback's millions.
+    """
+    n = s_hi.shape[0]
+    if n % block or n <= block:
+        return lower_bound(s_hi, s_lo, q_hi, q_lo)
+    nb = n // block
+    shape = q_hi.shape
+    qh, ql = q_hi.reshape(-1), q_lo.reshape(-1)
+    top_hi, top_lo = s_hi[::block], s_lo[::block]  # [nb]
+    less_a = _less(top_hi[None, :], top_lo[None, :], qh[:, None], ql[:, None])
+    b_idx = jnp.clip(
+        jnp.sum(less_a.astype(jnp.int32), axis=1) - 1, 0, nb - 1
+    )  # [Q] candidate block (query > its top key, or block 0)
+    rows_hi = s_hi.reshape(nb, block)[b_idx]  # [Q, block]
+    rows_lo = s_lo.reshape(nb, block)[b_idx]
+    less_b = _less(rows_hi, rows_lo, qh[:, None], ql[:, None])
+    pos = b_idx * block + jnp.sum(less_b.astype(jnp.int32), axis=1)
+    return pos.reshape(shape)
+
+
 def find(s_hi, s_lo, q_hi, q_lo, *, missing: int | None = None):
     """Exact search: index of each query key in the sorted array, or
     ``missing`` (default N) when absent."""

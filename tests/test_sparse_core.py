@@ -242,3 +242,28 @@ def test_ops_jittable(rng):
         return km.sum()
 
     go(sv)  # must trace & compile
+
+
+def test_lower_bound_hier_matches_binary(rng):
+    """Two-level hierarchical lower_bound (the plan-build boundary search,
+    ~3 ms/step of fori_loop gathers at bench scale) must agree with the
+    binary-search reference for every size class, including the
+    non-multiple-of-block fallback."""
+    from nerf_downstream_tpu.sparse import packing
+
+    for n, q in [(1024, 300), (65536, 7000), (512, 16), (896, 50)]:
+        keys = np.sort(rng.integers(0, 2**63, n).astype(np.uint64))
+        qs = np.concatenate([
+            rng.choice(keys, q // 2),
+            rng.integers(0, 2**63, q - q // 2).astype(np.uint64),
+        ])
+        hi = jnp.asarray((keys >> 32).astype(np.uint32))
+        lo = jnp.asarray((keys & 0xFFFFFFFF).astype(np.uint32))
+        qh = jnp.asarray((qs >> 32).astype(np.uint32))
+        ql = jnp.asarray((qs & 0xFFFFFFFF).astype(np.uint32))
+        a = np.asarray(packing.lower_bound(hi, lo, qh, ql))
+        b = np.asarray(packing.lower_bound_hier(hi, lo, qh, ql))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(
+            a, np.searchsorted(keys, qs, side="left")
+        )
