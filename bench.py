@@ -39,7 +39,10 @@ SCENES = 8
 VOXELS_PER_SCENE = 7_800
 NUM_CLASSES = 20
 WARMUP = 3
-ITERS = 10
+# 30 steps per dispatch: the relay RTT (50-250 ms/call, machinery real
+# TPU-attached hosts don't have) amortizes 1/ITERS into the wall number —
+# at 10 it was still ~7 ms/step of pure tunnel overhead on a ~55 ms step
+ITERS = 30
 REPEATS = 3  # min-of-REPEATS wall filters pool-queue congestion spikes
 
 # fully-windowed hybrid: per-level row caps from this workload's measured

@@ -390,16 +390,37 @@ def build_plan_direct(
         )
         st_c = starts[cg, ct]  # [TE]
 
+        # Candidate-tile query keys are RECOMPUTED from 1-D key slices +
+        # a static per-(g, m) 64-bit delta table rather than sliced out of
+        # the precomputed q_hi/q_lo [G, M, N] arrays: a vmapped
+        # dynamic_slice over those big arrays made XLA relayout BOTH of
+        # them M-minor ({1,0,2} copies, 2 x 0.83 ms/step at bench scale)
+        # just to serve ~64 tiles. The uniform unsigned 64-bit add here is
+        # bit-identical to packing.shift_keys (tested).
+        d64 = [
+            ((dh << 32) + dl) & ((1 << 64) - 1) for dh, dl in deltas
+        ]
+        dw = np.asarray(d64, np.uint64)[list(perm)].reshape(
+            len(groups), m
+        )
+        wh_tab = jnp.asarray((dw >> 32).astype(np.uint32))  # [G, M]
+        wl_tab = jnp.asarray((dw & 0xFFFFFFFF).astype(np.uint32))
+        inval = jnp.uint32(0xFFFFFFFF)
+        sent_lo = jnp.uint32(0xFFFFFFFE)
+
         def slice_tile(g, t0, s0):
-            qh = jax.lax.dynamic_slice(
-                q_hi.astype(i32), (g, 0, t0), (1, m, tile)
-            )[0]
-            ql = jax.lax.dynamic_slice(
-                q_lo.astype(i32), (g, 0, t0), (1, m, tile)
-            )[0]
+            oh = jax.lax.dynamic_slice(o_hi, (t0,), (tile,))
+            ol = jax.lax.dynamic_slice(o_lo, (t0,), (tile,))
+            om = jax.lax.dynamic_slice(out_mask, (t0,), (tile,))
+            wh, wl = wh_tab[g], wl_tab[g]  # [M]
+            ql = ol[None, :] + wl[:, None]
+            carry = (ql < ol[None, :]).astype(jnp.uint32)
+            qh = oh[None, :] + wh[:, None] + carry
+            qh = jnp.where(om[None, :], qh, inval)
+            ql = jnp.where(om[None, :], ql, sent_lo)
             hs = jax.lax.dynamic_slice(hi_pad, (s0,), (slice_w,))
             ls = jax.lax.dynamic_slice(lo_pad, (s0,), (slice_w,))
-            return qh, ql, hs, ls
+            return qh.astype(i32), ql.astype(i32), hs, ls
 
         qh_c, ql_c, hs_c, ls_c = jax.vmap(slice_tile)(
             cg, ct * tile, st_c
