@@ -95,6 +95,28 @@ def evaluate(
                 "pruned offset map:",
                 {k: len(v) for k, v in vmap_.items()},
             )
+        if layout in ("csr", "coo"):
+            # intra-offset tier for the intra-matrix layouts: dead
+            # 128x128 weight blocks skip their dispatch + weight matmuls
+            # in the windowed convs (reference's per-offset spmm,
+            # sparse_conv.py:122-152, at MXU granularity)
+            from nerf_downstream_tpu.utils.prune import block_live_map
+
+            blk = int(
+                gin.query_parameter(
+                    "CoordinateContext.block_live_granularity", default=128
+                )
+            )
+            bmap_ = block_live_map(state.params, block=blk)
+            if bmap_:
+                gin.bind("CoordinateContext", "block_live_map", bmap_)
+                print(
+                    "block-live map:",
+                    {
+                        k: f"{int(v.sum())}/{v.size}"
+                        for k, v in bmap_.items()
+                    },
+                )
     if convert_powernorm:
         # BN -> PN statistics transfer (reference powernorm.py:291-329);
         # applies when the model was built with NORM_TYPE="PN" but the

@@ -219,11 +219,45 @@ class SparseConv(nn.Module):
                     if self.use_bias
                     else None
                 )
-                out_f = window_conv_apply(
-                    sv.feats, plan, inv_plan, w, b,
-                    compute_dtype=self.compute_dtype,
-                    guard=ctx.overflow_guard,
-                ).astype(self.compute_dtype)
+                # intra-offset block-structured tier (inference): dead
+                # 128x128 weight blocks from a pruned checkpoint skip
+                # their dispatch + weight matmuls — the TPU analogue of
+                # the reference's per-offset csr/coo spmm
+                # (sparse_conv.py:122-152); bound by eval.py --sparsify
+                # via CoordinateContext.block_live_map
+                bl = None
+                blm = getattr(ctx, "block_live_map", None)
+                if blm:
+                    bl = blm.get("/".join(self.path))
+                    if bl is not None:
+                        bl = np.asarray(bl)
+                        if w_rows is not None:
+                            bl = np.where(
+                                (w_rows >= 0)[:, None, None],
+                                bl[np.clip(w_rows, 0, None)],
+                                False,
+                            )
+                        elif subset is not None:
+                            bl = bl[list(subset)]
+                        if bl.all():
+                            bl = None  # fully dense: stay on the VJP path
+                if bl is not None:
+                    from nerf_downstream_tpu.ops.window_conv import (
+                        window_conv_apply_blocksparse,
+                    )
+
+                    out_f = window_conv_apply_blocksparse(
+                        sv.feats, plan, w, bl, b,
+                        compute_dtype=self.compute_dtype,
+                        guard=ctx.overflow_guard,
+                        block=getattr(ctx, "block_live_granularity", 128),
+                    ).astype(self.compute_dtype)
+                else:
+                    out_f = window_conv_apply(
+                        sv.feats, plan, inv_plan, w, b,
+                        compute_dtype=self.compute_dtype,
+                        guard=ctx.overflow_guard,
+                    ).astype(self.compute_dtype)
                 out_f = ctx.level_poison(out_sv.coords, out_f)
                 return SparseVoxels(
                     coords=out_sv.coords, feats=out_f, mask=out_sv.mask,

@@ -179,6 +179,149 @@ def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm,
     )(starts, idx_p, w_perm, *([feats_pad] * g_count * blocks))
 
 
+def _gather_members_subset(members, compute_dtype, idx_rows, win_live):
+    """[len(members)*T, C_live] gathered rows for a STATIC member subset —
+    the block-sparse tier skips dead (padded / fully-pruned) members'
+    dispatch rows entirely."""
+    cov = win_live.shape[0]
+    tile = idx_rows.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tile, cov), 1)
+    ohs = jnp.concatenate(
+        [
+            (idx_rows[j].reshape(tile, 1) == iota).astype(compute_dtype)
+            for j in members
+        ],
+        axis=0,
+    )  # [Mlive*T, cov]
+    gall = jnp.dot(
+        ohs, win_live, preferred_element_type=jnp.float32
+    ).astype(compute_dtype)
+    return {
+        j: gall[p * tile:(p + 1) * tile] for p, j in enumerate(members)
+    }
+
+
+def _fwd_kernel_bs(g_count, m, blocks, compute_dtype, block, live, cout,
+                   starts_ref, idx_ref, w_ref, *refs):
+    """Block-structured sparse forward: ``live[g][j]`` is a static tuple of
+    live (Cin-block, Cout-block) pairs for member j of group g (pairs whose
+    weight tile is entirely zero are absent). Compute skipped at three
+    levels: dead members contribute no dispatch rows, dead Cin blocks no
+    dispatch columns, dead (bi, bo) pairs no weight matmul."""
+    win_refs, out_ref = refs[:-1], refs[-1]
+    tile = idx_ref.shape[-1]
+    idx_all = idx_ref[:]  # [G, 1, M, T]
+    c = win_refs[0].shape[-1]
+    nbo = -(-cout // block)
+    accs: list = [None] * nbo
+    for g in range(g_count):
+        members = tuple(j for j in range(m) if live[g][j])
+        if not members:
+            continue
+        live_bi = sorted({bi for j in members for bi, _ in live[g][j]})
+        win = jnp.concatenate(
+            [r[:] for r in win_refs[g * blocks:(g + 1) * blocks]], axis=0
+        )  # [cov, C]
+        col_off = {}
+        off = 0
+        parts_w = []
+        for bi in live_bi:
+            wbi = min(block, c - bi * block)
+            parts_w.append(win[:, bi * block:bi * block + wbi])
+            col_off[bi] = (off, wbi)
+            off += wbi
+        win_live = (
+            parts_w[0] if len(parts_w) == 1
+            else jnp.concatenate(parts_w, axis=1)
+        )
+        gs = _gather_members_subset(
+            members, compute_dtype, idx_all[g, 0], win_live
+        )
+        for j in members:
+            gj = gs[j]
+            for bi, bo in live[g][j]:
+                o, wbi = col_off[bi]
+                wbo = min(block, cout - bo * block)
+                part = jnp.dot(
+                    gj[:, o:o + wbi],
+                    w_ref[
+                        g, j, bi * block:bi * block + wbi,
+                        bo * block:bo * block + wbo,
+                    ],
+                    preferred_element_type=jnp.float32,
+                )
+                accs[bo] = part if accs[bo] is None else accs[bo] + part
+    outs = [
+        accs[bo]
+        if accs[bo] is not None
+        else jnp.zeros(
+            (tile, min(block, cout - bo * block)), jnp.float32
+        )
+        for bo in range(nbo)
+    ]
+    out_ref[:] = outs[0] if nbo == 1 else jnp.concatenate(outs, axis=1)
+
+
+def window_gather_matmul_pallas_bs(feats_pad, starts, idx, w_perm,
+                                   tile, window, compute_dtype, blocks,
+                                   block, live):
+    """Block-structured sparse variant of ``window_gather_matmul_pallas``
+    (forward/inference only — the training path stays dense). ``live`` is
+    the static nested liveness spec: per group, per member, a tuple of
+    live (Cin-block, Cout-block) index pairs at ``block`` granularity.
+    Same plan/window layout as the dense kernel; output f32 [N, Cout]."""
+    g_count, nt, m, _ = idx.shape
+    n_out = nt * tile
+    c = feats_pad.shape[1]
+    cout = w_perm.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec(
+                (g_count, 1, m, tile),
+                lambda t, st: (0, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g_count, m, c, cout),
+                lambda t, st: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *_win_specs_all_groups(window, c, blocks, g_count),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, cout), lambda t, st: (t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    n_pairs = sum(len(mem) for grp in live for mem in grp)
+    w2 = blocks * window
+    flops = 2 * n_out * (
+        sum(
+            len({bi for mem in grp for bi, _ in mem})
+            * len([j for j in grp if j]) * w2 * block
+            for grp in live
+        )
+        + n_pairs * block * block
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_bs, g_count, m, blocks, compute_dtype, block,
+            live, cout,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=blocks * n_out * c * g_count + n_out * cout * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(starts, idx, w_perm, *([feats_pad] * g_count * blocks))
+
+
 def _match_kernel(g_count, m, blocks, starts_ref, qh_ref, ql_ref, *refs):
     hi_refs = refs[:g_count * blocks]
     lo_refs = refs[g_count * blocks:2 * g_count * blocks]

@@ -11,10 +11,20 @@ structured win is *offset-level* skipping — fewer gathers and matmuls. So:
   (host-side, static) — the ``valid_kernel`` computation (:346-379);
 - ``zaxis_offsets``: the ZAXIS offset subset;
 - conv layers take a static ``valid_offsets`` tuple and subset the offset
-  table + weight rows at trace time.
+  table + weight rows at trace time;
+- ``block_live_from_weights``: per-offset [Cin-block, Cout-block] liveness
+  at MXU granularity (128) — the *intra-offset* structured tier. The MXU
+  executes 128x128 tiles dense, so sparsity below that granularity buys
+  nothing; at/above it, dead blocks skip both their slice of the windowed
+  dispatch matmul and their weight matmul
+  (ops/pallas/window_gather.py::window_gather_matmul_pallas_bs). This is
+  the TPU equivalent of the reference's per-offset csr/coo spmm
+  (sparse_conv.py:122-152): compute scales with surviving *structure*,
+  with the structure unit sized to the hardware.
 
-Layouts csr/coo/strided are accepted for CLI parity and all map to the
-dense-masked representation.
+Layouts csr/coo/strided are accepted for CLI parity; csr/coo route pruned
+checkpoints through offset-level skipping + the block-structured tier,
+strided maps to the dense-masked representation.
 """
 
 from __future__ import annotations
@@ -53,6 +63,37 @@ def sparsity_stats(weights: np.ndarray) -> dict:
         "live_offsets": len(live),
         "kernel_volume": w.shape[0],
     }
+
+
+MXU_BLOCK = 128
+
+
+def block_live_from_weights(
+    weights: np.ndarray, block: int = MXU_BLOCK, tol: float = 0.0
+) -> np.ndarray:
+    """Per-offset block liveness: [K, Ci, Co] -> bool[K, nbi, nbo] where
+    block (bi, bo) is live iff any |w| in its (<=block x <=block) tile
+    exceeds ``tol``. Edge blocks (Ci/Co not multiples of ``block``) are
+    clamped, not padded."""
+    w = np.asarray(weights)
+    k, ci, co = w.shape
+    nbi = -(-ci // block)
+    nbo = -(-co // block)
+    out = np.zeros((k, nbi, nbo), bool)
+    for bi in range(nbi):
+        for bo in range(nbo):
+            tile = w[
+                :, bi * block:(bi + 1) * block, bo * block:(bo + 1) * block
+            ]
+            out[:, bi, bo] = np.abs(tile).max(axis=(1, 2)) > tol
+    return out
+
+
+def block_live_savings(live: np.ndarray) -> float:
+    """Fraction of weight-block compute skipped by the block-structured
+    tier (0 = fully dense)."""
+    lv = np.asarray(live)
+    return 1.0 - lv.sum() / max(lv.size, 1)
 
 
 def pad_offset_groups(offsets: np.ndarray, valid: tuple):

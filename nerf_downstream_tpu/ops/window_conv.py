@@ -801,6 +801,88 @@ def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
 _window_conv_core.defvjp(_core_fwd, _core_bwd)
 
 
+def block_live_spec(
+    block_live: np.ndarray, perm: tuple, g_count: int, m: int
+) -> tuple:
+    """Static per-(group, member) live (Cin-block, Cout-block) pair spec
+    from per-offset block liveness bool[K', nbi, nbo] (rows in the SAME
+    offset order the plan was built from — subset/padding already
+    applied). Returns nested tuples (hashable, trace-static)."""
+    bl = np.asarray(block_live)[list(perm)].reshape(
+        g_count, m, *np.asarray(block_live).shape[1:]
+    )
+    return tuple(
+        tuple(
+            tuple(
+                (int(bi), int(bo))
+                for bi, bo in np.argwhere(bl[g, j])
+            )
+            for j in range(m)
+        )
+        for g in range(g_count)
+    )
+
+
+def window_conv_apply_blocksparse(
+    feats: jax.Array,
+    plan: WindowPlan,
+    weights: jax.Array,
+    block_live: np.ndarray,
+    bias: jax.Array | None = None,
+    compute_dtype=jnp.float32,
+    guard: bool = True,
+    block: int = 128,
+) -> jax.Array:
+    """Inference-only windowed conv that SKIPS dead weight blocks — the
+    intra-offset structured-sparsity tier (reference csr/coo spmm,
+    sparse_conv.py:122-152, re-expressed at MXU granularity).
+
+    ``block_live`` bool[K', nbi, nbo] marks live (Cin, Cout) blocks per
+    offset (ops/weight_sparse.block_live_from_weights), rows aligned with
+    ``weights`` [K', Cin, Cout]. Dead members skip their dispatch rows,
+    dead Cin blocks their dispatch columns, dead pairs their weight
+    matmul. Forward only (no VJP): the pruned-eval path
+    (co3d_3d/eval.py --sparsify, layouts csr/coo) is where intra-matrix
+    sparsity exists. The XLA fallback runs dense-masked (identical values:
+    dead blocks are zero)."""
+    n_in, cin = feats.shape
+    g_count, _, m, _ = plan.idx.shape
+    feats_pad = jnp.concatenate(
+        [feats, jnp.zeros((plan.blocks * plan.window, cin), feats.dtype)],
+        axis=0,
+    ).astype(compute_dtype)
+    w = weights.astype(compute_dtype)[jnp.asarray(plan.perm)].reshape(
+        g_count, m, cin, weights.shape[-1]
+    )
+    if _use_pallas():
+        from nerf_downstream_tpu.ops.pallas.window_gather import (
+            window_gather_matmul_pallas_bs,
+        )
+
+        live = block_live_spec(block_live, plan.perm, g_count, m)
+        out = window_gather_matmul_pallas_bs(
+            feats_pad, plan.starts, plan.idx, w, plan.tile, plan.window,
+            compute_dtype, plan.blocks, block, live,
+        )
+    else:
+        out = _window_gather_matmul(
+            feats_pad, plan.starts, plan.idx, w, plan.tile, plan.window,
+            compute_dtype, plan.blocks,
+        )
+    if plan.esc_k is not None:
+        out = out + _esc_contrib(
+            feats.astype(compute_dtype), plan.esc_k, plan.esc_i,
+            plan.esc_j, w.reshape(g_count * m, cin, -1), out.shape[0],
+        )
+    if guard:
+        out = out * jnp.where(
+            plan.n_escaped > 0, jnp.float32(jnp.nan), jnp.float32(1.0)
+        )
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out
+
+
 def window_conv_apply(
     feats: jax.Array,
     plan: WindowPlan,

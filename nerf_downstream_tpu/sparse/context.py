@@ -51,6 +51,8 @@ class CoordinateContext:
         level_caps: tuple | None = None,
         level_cap_decay: float | None = None,
         valid_offsets_map=None,
+        block_live_map=None,
+        block_live_granularity: int = 128,
     ):
         # {module path ("block1_0/conv1") -> live offset tuple}: per-layer
         # offset subsets derived from a pruned checkpoint's weights (the
@@ -58,6 +60,17 @@ class CoordinateContext:
         # Set programmatically by co3d_3d/eval.py --sparsify for
         # csr/coo/strided layouts; consulted by mode-1 (SPARSE) convs.
         self.valid_offsets_map = valid_offsets_map
+        # {module path -> bool[K, nbi, nbo]}: per-offset weight-block
+        # liveness at MXU (128) granularity — the intra-offset structured
+        # tier of the pruned-eval path (utils/prune.block_live_map; the
+        # TPU re-expression of the reference's csr/coo spmm,
+        # sparse_conv.py:122-152). Consulted by windowed s1 convs at
+        # inference; dead blocks skip dispatch + weight matmuls
+        # (ops/window_conv.window_conv_apply_blocksparse). The
+        # granularity is the MXU tile edge (128) in production; tests
+        # shrink it to exercise the tier at toy channel counts.
+        self.block_live_map = block_live_map
+        self.block_live_granularity = block_live_granularity
         # grid_extent is configured per dataset (coordinate span in finest
         # voxel units, e.g. ``CoordinateContext.grid_extent = 320`` for
         # PeRFception-ScanNet); None selects the unbounded search builder.

@@ -122,3 +122,33 @@ def pruned_offsets_map(params) -> dict:
             if 0 < len(live) < leaf.shape[0]:
                 out["/".join(path[:-1])] = live
     return out
+
+
+def block_live_map(params, block: int = 128) -> dict:
+    """{conv module path -> bool[K, nbi, nbo]} per-offset weight-block
+    liveness at MXU granularity — the intra-offset structured-sparsity
+    tier (reference csr/coo spmm, sparse_conv.py:122-152). Only layers
+    where block pruning actually skips compute are recorded: at least one
+    dead block in a kernel with more than one block per matrix (below
+    128x128 the MXU runs the tile dense regardless). Consumed by windowed
+    convs via CoordinateContext.block_live_map."""
+    import numpy as np
+    from flax import traverse_util
+
+    from nerf_downstream_tpu.ops.weight_sparse import (
+        block_live_from_weights,
+    )
+
+    out = {}
+    for path, leaf in traverse_util.flatten_dict(dict(params)).items():
+        if (
+            path[-1] == "kernel"
+            and getattr(leaf, "ndim", 0) == 3
+            and leaf.shape[0] > 1
+        ):
+            live = block_live_from_weights(np.asarray(leaf), block=block)
+            if live[:, 0, 0].size and live.size > live.shape[0] and (
+                not live.all()
+            ):
+                out["/".join(path[:-1])] = live
+    return out

@@ -273,3 +273,84 @@ def test_all_own_configs_parse():
     for path in glob.glob(f"{CFG}/*.gin"):
         cfg.clear_config()
         cfg.parse_config_files_and_bindings([path], [])
+
+
+def test_eval_cli_sparsify_blocksparse(tmp_path, rng):
+    """--sparsify --layout csr on a BLOCK-pruned checkpoint: eval routes
+    through the intra-offset block tier (CoordinateContext.block_live_map
+    bound by eval.py) and reproduces the dense eval metrics of the same
+    zeroed weights. Granularity shrunk to 4 so the toy 8-channel model
+    exercises the tier (production granularity is the MXU's 128)."""
+    root = write_scannet_tree(tmp_path, rng)
+    from co3d_3d import eval as eval_cli
+    from co3d_3d import train as train_cli
+    from nerf_downstream_tpu.train import checkpoints
+
+    out = tmp_path / "exp"
+    common = [
+        "--ginc", f"{CFG}/scannet_plenoxel.gin",
+        "--ginc", f"{CFG}/scannet_feature_sh.gin",
+        "--ginb", f'PlenoxelScannetDataset.data_root = "{root}"',
+        "--ginb", "PlenoxelScannetDataset.downsample_stride = 1",
+        "--ginb", "PlenoxelScannetDataset.train_transformations = []",
+        "--ginb", "Res16UNet.PLANES = (8, 8, 8, 8, 8, 8, 8, 8)",
+        "--ginb", "Res16UNet.LAYERS = (1, 1, 1, 1, 1, 1, 1, 1)",
+        "--ginb", "CoordinateContext.block_cap_divisor = 1",
+    ]
+    train_cli.main(common + [
+        "--ginb", "train.max_steps = 2",
+        "--ginb", "train.val_every_n_steps = 0",
+        "--ginb", "train.batch_size = 2",
+        "--ginb", "train.val_batch_size = 1",
+        "--ginb", "train.train_num_workers = 1",
+        "--save_path", str(out),
+        "--seed", "1",
+    ])
+    cfg.clear_config()
+
+    # block-prune the checkpoint: zero ~half the 4x4 blocks of every k3
+    # conv kernel (structured — what the block tier skips)
+    raw = checkpoints.load_checkpoint_raw(str(out / "last.ckpt"))
+    prng = np.random.default_rng(3)
+    blk = 4
+    assert "state_dict" in raw and "params" in raw["state_dict"]
+
+    def prune(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: prune(v, path + (k,)) for k, v in tree.items()}
+        arr = np.asarray(tree)
+        if path[-1] == "kernel" and arr.ndim == 3 and arr.shape[0] == 27:
+            arr = arr.copy()
+            for k in range(27):
+                for bi in range(arr.shape[1] // blk):
+                    for bo in range(arr.shape[2] // blk):
+                        if prng.random() < 0.5:
+                            arr[
+                                k, bi * blk:(bi + 1) * blk,
+                                bo * blk:(bo + 1) * blk,
+                            ] = 0
+        return arr
+
+    raw["state_dict"]["params"] = prune(raw["state_dict"]["params"])
+    pruned_ckpt = out / "pruned.ckpt"
+    from flax import serialization as fser
+
+    with open(pruned_ckpt, "wb") as f:
+        f.write(fser.msgpack_serialize(raw))
+
+    eval_common = common + [
+        "--ginb", "CoordinateContext.block_live_granularity = 4",
+        "--load_path", str(pruned_ckpt),
+    ]
+    eval_cli.main(eval_common + ["--tag", "denseref"])
+    cfg.clear_config()
+    eval_cli.main(eval_common + [
+        "--tag", "bs", "--sparsify",
+        "--sparse_mode", ",".join(["1"] * 9), "--layout", "csr",
+    ])
+    dense = json.loads((out / "denseref.json").read_text())[0]
+    got = json.loads((out / "bs.json").read_text())[0]
+    assert np.isfinite(got["val/mIoU"])
+    np.testing.assert_allclose(
+        got["val/mIoU"], dense["val/mIoU"], rtol=1e-3, atol=1e-3
+    )

@@ -220,3 +220,77 @@ def test_mode1_pruned_offsets_map_end_to_end(rng):
         )
     finally:
         cfg.clear_config()
+
+
+def test_block_live_map_end_to_end(rng):
+    """Intra-offset block tier: sparse_mode=1 + a BLOCK-pruned checkpoint
+    routes windowed convs through window_conv_apply_blocksparse; output
+    == dense model with the same zeroed weights. Granularity shrunk to 4
+    so toy channel counts exercise the tier (production is the MXU 128)."""
+    from nerf_downstream_tpu import config as cfg
+    from nerf_downstream_tpu.models import get_model
+    from nerf_downstream_tpu.sparse.types import PointField
+    from nerf_downstream_tpu.utils.prune import block_live_map
+
+    cfg.clear_config()
+    try:
+        blk = 4
+        n, valid = 512, 400
+        coords = np.zeros((n, 4), np.float32)
+        coords[:valid, 1:] = rng.integers(0, 16, (valid, 3))
+        field = PointField(
+            coords=jnp.asarray(coords),
+            feats=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+            mask=jnp.asarray(np.arange(n) < valid),
+        )
+
+        def build(sparse_mode):
+            return get_model(
+                name="Res16UNet14", in_channel=3, out_channel=4,
+                num_batches=1, planes=(8,) * 8,
+                sparse=list(sparse_mode),
+            )
+
+        dense = build((0,) * 9)
+        v = dense.init(jax.random.PRNGKey(0), field, train=False)
+        # zero ~half the 4x4 blocks of every k3 conv kernel
+        from flax import traverse_util
+
+        flat = traverse_util.flatten_dict(v["params"])
+        pruned = {}
+        prng = np.random.default_rng(7)
+        for path, leaf in flat.items():
+            arr = np.asarray(leaf)
+            if path[-1] == "kernel" and arr.ndim == 3 and arr.shape[0] == 27:
+                arr = arr.copy()
+                ci, co = arr.shape[1:]
+                for k in range(27):
+                    for bi in range(ci // blk):
+                        for bo in range(co // blk):
+                            if prng.random() < 0.5:
+                                arr[
+                                    k, bi * blk:(bi + 1) * blk,
+                                    bo * blk:(bo + 1) * blk,
+                                ] = 0
+            pruned[path] = arr
+        params = traverse_util.unflatten_dict(pruned)
+
+        bmap_ = block_live_map(params, block=blk)
+        assert bmap_, "block pruning produced no map entries"
+
+        stats = v.get("batch_stats", {})
+        ref = dense.apply(
+            {"params": params, "batch_stats": stats}, field, train=False
+        )
+
+        cfg.bind("CoordinateContext", "block_live_map", bmap_)
+        cfg.bind("CoordinateContext", "block_live_granularity", blk)
+        sparse = build((1,) * 9)
+        got = sparse.apply(
+            {"params": params, "batch_stats": stats}, field, train=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+    finally:
+        cfg.clear_config()

@@ -112,3 +112,52 @@ def test_match_kernel_matches_xla_find(rng):
     np.testing.assert_array_equal(
         np.asarray(plan_i.idx), np.asarray(plan_x.idx)
     )
+
+
+def test_blocksparse_kernel_matches_dense(rng):
+    """window_conv_apply_blocksparse (interpret) == dense windowed apply
+    when the dead blocks are zeroed in the weights — and the live spec
+    actually skips compute (some blocks absent)."""
+    from nerf_downstream_tpu.ops.weight_sparse import (
+        block_live_from_weights,
+    )
+    from nerf_downstream_tpu.ops.window_conv import (
+        block_live_spec,
+        window_conv_apply_blocksparse,
+    )
+
+    sv = make_sorted_sv(rng, n=512, valid=420, c=8, extent=16)
+    offs = kernel_offsets(3, 1)
+    ctx = CoordinateContext(num_batches=2, grid_extent=32)
+    km, inv = _maps(sv, sv, offs, ctx)
+    blk = 4  # test granularity; production uses the MXU's 128
+    w = rng.normal(size=(27, 8, 8)).astype(np.float32) * 0.1
+    # kill ~half the (offset, bi, bo) blocks + one whole offset
+    kill = rng.random((27, 2, 2)) < 0.5
+    kill[13] = True
+    for k in range(27):
+        for bi in range(2):
+            for bo in range(2):
+                if kill[k, bi, bo]:
+                    w[k, bi * blk:(bi + 1) * blk, bo * blk:(bo + 1) * blk] = 0
+    live = block_live_from_weights(w, block=blk)
+    np.testing.assert_array_equal(live, ~kill)
+    b = rng.normal(size=(8,)).astype(np.float32)
+
+    plan = build_plan(km, sv.capacity, offs, tile=128, window=128)
+    inv_plan = build_plan(inv, sv.capacity, offs, tile=128, window=128)
+    assert int(plan.n_escaped) == 0
+    ref = window_conv_apply(
+        sv.feats, plan, inv_plan, jnp.asarray(w), jnp.asarray(b)
+    )
+    got = window_conv_apply_blocksparse(
+        sv.feats, plan, jnp.asarray(w), live, jnp.asarray(b), block=blk
+    )
+    m = np.asarray(sv.mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[m], np.asarray(ref)[m], rtol=1e-4, atol=1e-4
+    )
+    # the static spec drops exactly the dead pairs
+    spec = block_live_spec(live, plan.perm, 9, 3)
+    n_pairs = sum(len(mem) for grp in spec for mem in grp)
+    assert n_pairs == int(live.sum())
