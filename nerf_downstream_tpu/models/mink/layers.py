@@ -82,6 +82,11 @@ class SparseConv(nn.Module):
     compute_dtype: Any = jnp.float32
     conv_mode: int = 0
     valid_offsets: tuple | None = None
+    # False declares the INPUT is never differentiated through (first
+    # convs whose input is the data batch): the windowed path then runs a
+    # d_w-only backward — no inverse plan, no d_feats window sweep
+    # (~half a stem conv's backward at [65536, 27])
+    input_grad: bool = True
 
     @nn.compact
     def __call__(
@@ -187,9 +192,13 @@ class SparseConv(nn.Module):
                     plan = ctx.window_plan_direct(
                         sv.coords, sv.mask, offs_w, stride=sv.stride
                     )
-                    inv_plan = ctx.window_plan_direct(
-                        sv.coords, sv.mask, offs_w, transpose=True,
-                        stride=sv.stride,
+                    inv_plan = (
+                        ctx.window_plan_direct(
+                            sv.coords, sv.mask, offs_w, transpose=True,
+                            stride=sv.stride,
+                        )
+                        if self.input_grad
+                        else None
                     )
                 else:
                     out_sv = ctx.strided(sv, 2)
@@ -239,8 +248,14 @@ class SparseConv(nn.Module):
                             )
                         elif subset is not None:
                             bl = bl[list(subset)]
-                        if bl.all():
-                            bl = None  # fully dense: stay on the VJP path
+                        # the tier pays kernel restructuring overhead
+                        # (packed dispatch, per-pair matmuls): below ~25%
+                        # dead blocks the dense kernel measured faster
+                        # (scratch/bench_blocksparse.py), so stay dense
+                        if bl.all() or (
+                            1.0 - bl.sum() / bl.size
+                        ) < 0.25:
+                            bl = None
                 if bl is not None:
                     from nerf_downstream_tpu.ops.window_conv import (
                         window_conv_apply_blocksparse,
@@ -257,6 +272,7 @@ class SparseConv(nn.Module):
                         sv.feats, plan, inv_plan, w, b,
                         compute_dtype=self.compute_dtype,
                         guard=ctx.overflow_guard,
+                        input_grad=self.input_grad or not s1_ok,
                     ).astype(self.compute_dtype)
                 out_f = ctx.level_poison(out_sv.coords, out_f)
                 return SparseVoxels(

@@ -87,11 +87,13 @@ class Res16UNet(nn.Module):
             )(sv, ctx, train)
         return sv
 
-    def _conv_norm_non(self, sv, ctx, train, ch, *, kernel, stride, name):
+    def _conv_norm_non(self, sv, ctx, train, ch, *, kernel, stride, name,
+                       input_grad=True):
         non = get_nonlinearity(self.nonlinearity)
         sv = SparseConv(
             ch, kernel, stride, compute_dtype=self.compute_dtype,
             conv_mode=self._conv_mode(0), name=f"{name}_conv",
+            input_grad=input_grad,
         )(sv, ctx)
         sv = self._norm()(sv, train)
         return non(sv)
@@ -111,7 +113,12 @@ class Res16UNet(nn.Module):
         p = self.planes
 
         # stem (stride 1): two conv3-norm-act
-        out = self._conv_norm_non(sv, ctx, train, p[0], kernel=3, stride=1, name="conv0a")
+        # conv0a consumes the raw input field: no gradient flows into the
+        # data, so its backward is d_w-only (layers.SparseConv.input_grad)
+        out = self._conv_norm_non(
+            sv, ctx, train, p[0], kernel=3, stride=1, name="conv0a",
+            input_grad=False,
+        )
         out_p1 = self._conv_norm_non(out, ctx, train, p[0], kernel=3, stride=1, name="conv0b")
 
         # encoder

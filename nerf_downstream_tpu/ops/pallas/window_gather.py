@@ -120,18 +120,25 @@ def _fwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, idx_ref,
             acc = acc + jnp.dot(
                 parts[j], w_ref[g, j], preferred_element_type=jnp.float32
             )
-    out_ref[:] = acc
+    # accumulation stays f32; the store rounds once to the requested
+    # output dtype (bf16 in production) — emitting bf16 directly halves
+    # the kernel's HBM write AND removes the standalone f32->bf16 cast
+    # fusion every conv previously paid (trace: ~0.4-0.6 ms each at
+    # [65536, 96])
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm,
-                                tile, window, compute_dtype, blocks=2):
+                                tile, window, compute_dtype, blocks=2,
+                                out_dtype=jnp.float32):
     """sum_{g,m} onehot(idx[g,m]) @ window_g @ w[g,m] -> [N, Cout].
 
     feats_pad [n_in + blocks*W, C] (compute dtype); starts int32[G, nT];
     idx int32[G, nT, M, T] tile-major (in-window indices, -1 = absent —
     the layout the match kernel emits and this kernel's BlockSpec streams,
     so no relayout copy ever materializes between them); w_perm
-    [G, M, C, Cout] (compute dtype). Output f32. Grid is one step per
+    [G, M, C, Cout] (compute dtype). Output ``out_dtype`` (f32
+    accumulation in-kernel, one rounding on store). Grid is one step per
     output tile: all G groups' windows stream in together and the weights
     live in VMEM for the whole call.
     """
@@ -169,7 +176,7 @@ def window_gather_matmul_pallas(feats_pad, starts, idx, w_perm,
             _fwd_kernel, g_count, m, blocks, compute_dtype
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=blocks * n_out * c * g_count + n_out * cout * 4,
@@ -222,18 +229,29 @@ def _fwd_kernel_bs(g_count, m, blocks, compute_dtype, block, live, cout,
         win = jnp.concatenate(
             [r[:] for r in win_refs[g * blocks:(g + 1) * blocks]], axis=0
         )  # [cov, C]
-        col_off = {}
-        off = 0
-        parts_w = []
-        for bi in live_bi:
-            wbi = min(block, c - bi * block)
-            parts_w.append(win[:, bi * block:bi * block + wbi])
-            col_off[bi] = (off, wbi)
-            off += wbi
-        win_live = (
-            parts_w[0] if len(parts_w) == 1
-            else jnp.concatenate(parts_w, axis=1)
-        )
+        nbi_all = -(-c // block)
+        if len(live_bi) == nbi_all:
+            # full Cin-block union: dispatch over the window as-is — the
+            # packed copy below would cost a [cov, C] VMEM materialization
+            # per group for zero dispatch savings (measured 0.82x overall)
+            win_live = win
+            col_off = {
+                bi: (bi * block, min(block, c - bi * block))
+                for bi in live_bi
+            }
+        else:
+            col_off = {}
+            off = 0
+            parts_w = []
+            for bi in live_bi:
+                wbi = min(block, c - bi * block)
+                parts_w.append(win[:, bi * block:bi * block + wbi])
+                col_off[bi] = (off, wbi)
+                off += wbi
+            win_live = (
+                parts_w[0] if len(parts_w) == 1
+                else jnp.concatenate(parts_w, axis=1)
+            )
         gs = _gather_members_subset(
             members, compute_dtype, idx_all[g, 0], win_live
         )
@@ -259,12 +277,13 @@ def _fwd_kernel_bs(g_count, m, blocks, compute_dtype, block, live, cout,
         )
         for bo in range(nbo)
     ]
-    out_ref[:] = outs[0] if nbo == 1 else jnp.concatenate(outs, axis=1)
+    full = outs[0] if nbo == 1 else jnp.concatenate(outs, axis=1)
+    out_ref[:] = full.astype(out_ref.dtype)
 
 
 def window_gather_matmul_pallas_bs(feats_pad, starts, idx, w_perm,
                                    tile, window, compute_dtype, blocks,
-                                   block, live):
+                                   block, live, out_dtype=jnp.float32):
     """Block-structured sparse variant of ``window_gather_matmul_pallas``
     (forward/inference only — the training path stays dense). ``live`` is
     the static nested liveness spec: per group, per member, a tuple of
@@ -312,7 +331,7 @@ def window_gather_matmul_pallas_bs(feats_pad, starts, idx, w_perm,
             live, cout,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=blocks * n_out * c * g_count + n_out * cout * 4,
@@ -322,13 +341,19 @@ def window_gather_matmul_pallas_bs(feats_pad, starts, idx, w_perm,
     )(starts, idx, w_perm, *([feats_pad] * g_count * blocks))
 
 
-def _match_kernel(g_count, m, blocks, starts_ref, qh_ref, ql_ref, *refs):
+def _match_kernel(g_count, m, blocks, deltas, starts_ref, oh_ref, ol_ref,
+                  om_ref, *refs):
     hi_refs = refs[:g_count * blocks]
     lo_refs = refs[g_count * blocks:2 * g_count * blocks]
     idx_ref = refs[-1]
-    tile = qh_ref.shape[-1]
-    qh_all = qh_ref[:]  # [G, M, T] (queries stream in their natural
-    ql_all = ql_ref[:]  # [G, M, N] layout — no tile-major relayout copy)
+    tile = oh_ref.shape[-1]
+    oh = oh_ref[0].reshape(1, tile)  # [1, T] i32 (bit view of uint32 keys)
+    ol = ol_ref[0].reshape(1, tile)
+    om = om_ref[0].reshape(1, tile)
+    sign = jnp.int32(-2147483648)
+    inval_h = jnp.int32(-1)  # 0xFFFFFFFF
+    inval_l = jnp.int32(-2)  # 0xFFFFFFFE (shift_keys' masked-lo sentinel)
+    ol_u = ol ^ sign
     for g in range(g_count):
         win_hi = jnp.concatenate(
             [r[:] for r in hi_refs[g * blocks:(g + 1) * blocks]], axis=0
@@ -339,26 +364,45 @@ def _match_kernel(g_count, m, blocks, starts_ref, qh_ref, ql_ref, *refs):
         w2 = win_hi.shape[0]
         iota = jax.lax.broadcasted_iota(jnp.int32, (w2, tile), 0)
         for j in range(m):
-            qh = qh_all[g, j].reshape(1, tile)
-            ql = ql_all[g, j].reshape(1, tile)
+            # query keys computed IN-KERNEL from the static per-(g, m)
+            # 64-bit delta (uniform unsigned add, bit-identical to
+            # packing.shift_keys — same trick as the escape search): the
+            # [G, M, N] q_hi/q_lo arrays this kernel used to stream cost
+            # two {1,0,2} relayout copies (2 x 0.83 ms/step) plus their
+            # producer fusions at bench scale
+            wh, wl = deltas[g][j]
+            ql = ol + jnp.int32(wl)  # wrapping add == uint32 add
+            if wl == 0:
+                qh = oh + jnp.int32(wh)
+            else:
+                carry = ((ql ^ sign) < ol_u).astype(jnp.int32)
+                qh = oh + jnp.int32(wh) + carry
+            qh = jnp.where(om != 0, qh, inval_h)
+            ql = jnp.where(om != 0, ql, inval_l)
             match = (win_hi == qh) & (win_lo == ql)  # [cov, T]
             # keys are unique, so <=1 match per column; -1 where none
             idx_ref[g, 0, j, :] = jnp.max(jnp.where(match, iota, -1), axis=0)
 
 
-def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
+def window_match_pallas(hi, lo, o_hi, o_lo, out_mask, deltas_gm, starts,
+                        tile, window, blocks=2):
     """In-window neighbor indices by key equality: idx int32[G, nT, M, T]
     (tile-major — the layout the conv kernels consume directly).
 
     ``hi``/``lo``: the level's sorted packed keys [N] (uint32);
-    ``q_hi``/``q_lo``: per-(group, member) shifted query keys [G, M, N];
-    ``starts``: quantized window starts int32[G, nT]. Streams the same
-    aligned key windows the conv kernel streams for features; the one-hot
-    equality that the conv later rebuilds from ``idx`` is computed here
-    against *keys* — so the whole kernel-map + plan pipeline never touches
-    HBM at row granularity.
+    ``o_hi``/``o_lo``/``out_mask``: the QUERY set's keys + validity [N]
+    (same arrays for same-set plans); ``deltas_gm``: static nested tuple
+    [G][M] of (hi, lo) int32-word views of each offset's 64-bit packed-key
+    delta (window_conv.build_plan_direct precomputes it); ``starts``:
+    quantized window starts int32[G, nT]. The kernel streams the same
+    aligned key windows the conv kernel streams for features, shifts each
+    tile's query keys in-register per (group, member), and
+    equality-matches — the whole kernel-map + plan pipeline never touches
+    HBM at row granularity, and no [G, M, N] query array ever exists.
     """
-    g_count, m, n_out = q_hi.shape
+    g_count = len(deltas_gm)
+    m = len(deltas_gm[0])
+    n_out = o_hi.shape[0]
     nt = n_out // tile
     i32 = jnp.int32
     hi_pad = jnp.concatenate(
@@ -367,24 +411,24 @@ def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
     lo_pad = jnp.concatenate(
         [lo.astype(i32), jnp.full((blocks * window,), -1, i32)]
     )[:, None]
-    # queries stay [G, M, N]: the kernel's BlockSpec slices one tile
-    # column per grid step, so the [G,M,N] -> [G,nT,M,T] transpose copy
-    # (traced 2 x 0.83 ms/step at bench scale) never materializes
-    qh_p = q_hi.astype(i32)
-    ql_p = q_lo.astype(i32)
+    oh_p = o_hi.astype(i32).reshape(1, n_out)
+    ol_p = o_lo.astype(i32).reshape(1, n_out)
+    om_p = out_mask.astype(i32).reshape(1, n_out)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec(
-                (g_count, m, tile),
-                lambda t, st: (0, 0, t),
+                (1, tile), lambda t, st: (0, t),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (g_count, m, tile),
-                lambda t, st: (0, 0, t),
+                (1, tile), lambda t, st: (0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile), lambda t, st: (0, t),
                 memory_space=pltpu.VMEM,
             ),
             *_win_specs_all_groups(window, 1, blocks, g_count),
@@ -396,17 +440,17 @@ def window_match_pallas(hi, lo, q_hi, q_lo, starts, tile, window, blocks=2):
         ),
     )
     idx_p = pl.pallas_call(
-        functools.partial(_match_kernel, g_count, m, blocks),
+        functools.partial(_match_kernel, g_count, m, blocks, deltas_gm),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((g_count, nt, m, tile), jnp.int32),
         cost_estimate=pl.CostEstimate(
             flops=3 * g_count * m * n_out * blocks * window,
-            bytes_accessed=8 * n_out * (g_count * m + blocks),
+            bytes_accessed=8 * n_out * blocks + 12 * n_out,
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(
-        starts, qh_p, ql_p,
+        starts, oh_p, ol_p, om_p,
         *([hi_pad] * g_count * blocks), *([lo_pad] * g_count * blocks),
     )
     return idx_p
@@ -451,7 +495,10 @@ def _bwd_kernel(g_count, m, blocks, compute_dtype, starts_ref, idx_ref,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-    din_ref[:] = acc
+    # d_feats rounds once on store (production bf16 — the consumer chain
+    # is bf16 anyway and previously paid a separate cast pass); the d_w
+    # accumulator ref stays f32 (revisited every grid step)
+    din_ref[:] = acc.astype(din_ref.dtype)
 
 
 def window_bwd_pallas(g_pad, feats, inv_starts, inv_idx, w_t,
@@ -505,7 +552,7 @@ def window_bwd_pallas(g_pad, feats, inv_starts, inv_idx, w_t,
         functools.partial(_bwd_kernel, g_count, m, blocks, compute_dtype),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_in, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_in, c), compute_dtype),
             jax.ShapeDtypeStruct((g_count, m, c, co), jnp.float32),
         ],
         interpret=_interpret(),

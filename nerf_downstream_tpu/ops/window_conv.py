@@ -265,27 +265,45 @@ def build_plan_direct(
     )
 
     # --- in-window indices ---
-    q_hi = jnp.stack(
-        [
-            packing.shift_keys(o_hi, o_lo, d_hi, d_lo, mask=out_mask)[0]
-            for d_hi, d_lo in deltas
-        ]
-    )[jnp.asarray(perm)].reshape(len(groups), m, n)
-    q_lo = jnp.stack(
-        [
-            packing.shift_keys(o_hi, o_lo, d_hi, d_lo, mask=out_mask)[1]
-            for d_hi, d_lo in deltas
-        ]
-    )[jnp.asarray(perm)].reshape(len(groups), m, n)
+    # static per-(g, m) 64-bit delta words: the packed key of coord+d is
+    # key + delta as one uint64 add (offset_delta) — shared by the match
+    # kernel (which shifts query keys in-register) and the escape search
+    d64 = [((dh << 32) + dl) & ((1 << 64) - 1) for dh, dl in deltas]
+    dw = np.asarray(d64, np.uint64)[list(perm)].reshape(len(groups), m)
+
+    def _i32(v):
+        v = int(v) & 0xFFFFFFFF
+        return v - (1 << 32) if v >= (1 << 31) else v
+
     if _use_pallas():
         from nerf_downstream_tpu.ops.pallas.window_gather import (
             window_match_pallas,
         )
 
+        deltas_gm = tuple(
+            tuple(
+                (_i32(int(dw[g, j]) >> 32), _i32(dw[g, j]))
+                for j in range(m)
+            )
+            for g in range(len(groups))
+        )
         idx = window_match_pallas(
-            hi, lo, q_hi, q_lo, starts, tile, window, blocks
+            hi, lo, o_hi, o_lo, out_mask, deltas_gm, starts,
+            tile, window, blocks,
         )
     else:
+        q_hi = jnp.stack(
+            [
+                packing.shift_keys(o_hi, o_lo, d_hi, d_lo, mask=out_mask)[0]
+                for d_hi, d_lo in deltas
+            ]
+        )[jnp.asarray(perm)].reshape(len(groups), m, n)
+        q_lo = jnp.stack(
+            [
+                packing.shift_keys(o_hi, o_lo, d_hi, d_lo, mask=out_mask)[1]
+                for d_hi, d_lo in deltas
+            ]
+        )[jnp.asarray(perm)].reshape(len(groups), m, n)
         pos = packing.find(
             hi, lo, q_hi.reshape(-1), q_lo.reshape(-1), missing=n_in
         ).reshape(len(groups), m, n)
@@ -397,12 +415,6 @@ def build_plan_direct(
         # them M-minor ({1,0,2} copies, 2 x 0.83 ms/step at bench scale)
         # just to serve ~64 tiles. The uniform unsigned 64-bit add here is
         # bit-identical to packing.shift_keys (tested).
-        d64 = [
-            ((dh << 32) + dl) & ((1 << 64) - 1) for dh, dl in deltas
-        ]
-        dw = np.asarray(d64, np.uint64)[list(perm)].reshape(
-            len(groups), m
-        )
         wh_tab = jnp.asarray((dw >> 32).astype(np.uint32))  # [G, M]
         wl_tab = jnp.asarray((dw & 0xFFFFFFFF).astype(np.uint32))
         inval = jnp.uint32(0xFFFFFFFF)
@@ -422,14 +434,46 @@ def build_plan_direct(
             ls = jax.lax.dynamic_slice(lo_pad, (s0,), (slice_w,))
             return qh.astype(i32), ql.astype(i32), hs, ls
 
-        qh_c, ql_c, hs_c, ls_c = jax.vmap(slice_tile)(
-            cg, ct * tile, st_c
-        )  # [TE, M, T], [TE, S]
-        eq = (hs_c[:, None, None, :] == qh_c[..., None]) & (
-            ls_c[:, None, None, :] == ql_c[..., None]
-        )  # [TE, M, T, S]
-        iota_s = jax.lax.broadcasted_iota(i32, eq.shape, 3)
-        j_loc = jnp.max(jnp.where(eq, iota_s, -1), axis=3)  # [TE, M, T]
+        def match_chunk(args):
+            cg_c, t0_c, st_cc = args  # [CH]
+            qh_c, ql_c, hs_c, ls_c = jax.vmap(slice_tile)(
+                cg_c, t0_c, st_cc
+            )  # [CH, M, T], [CH, S]
+            eq = (hs_c[:, None, None, :] == qh_c[..., None]) & (
+                ls_c[:, None, None, :] == ql_c[..., None]
+            )  # [CH, M, T, S]
+            iota_s = jax.lax.broadcasted_iota(i32, eq.shape, 3)
+            return jnp.max(jnp.where(eq, iota_s, -1), axis=3)  # [CH, M, T]
+
+        # chunked over candidate tiles: the [TE, M, T, S] equality tensor
+        # is ~100 MB at the runtime budget (TE<=64) but tens of GB at the
+        # calibration pass's uncapped TE = G*nT (utils/calibrate.py scans
+        # with every tile as a candidate) — lax.map bounds peak memory to
+        # one chunk while compiling to the identical single-slab program
+        # when TE <= the chunk size
+        chunk = 64
+        if te <= chunk:
+            j_loc = match_chunk((cg, ct * tile, st_c))
+        else:
+            n_ch = -(-te // chunk)
+            pad = n_ch * chunk - te
+            # padding duplicates candidate 0; duplicated ESCAPED entries
+            # would double-count, so padded rows are masked out below
+            cg_p = jnp.concatenate([cg, jnp.zeros((pad,), i32)])
+            ct_p = jnp.concatenate([ct, jnp.zeros((pad,), i32)])
+            st_p = jnp.concatenate([st_c, jnp.zeros((pad,), i32)])
+            j_loc = jax.lax.map(
+                match_chunk,
+                (
+                    cg_p.reshape(n_ch, chunk),
+                    (ct_p * tile).reshape(n_ch, chunk),
+                    st_p.reshape(n_ch, chunk),
+                ),
+            ).reshape(n_ch * chunk, m, tile)
+            real = (
+                jnp.arange(n_ch * chunk, dtype=i32) < te
+            )[:, None, None]
+            j_loc = jnp.where(real, j_loc, -1)[:te]
         a_flag = j_loc >= cov  # found strictly out-of-window
         a_k = jnp.broadcast_to(
             cg[:, None, None] * m + mm[None, :, None], j_loc.shape
@@ -607,7 +651,8 @@ def _use_pallas() -> bool:
 
 
 def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile,
-                          window, compute_dtype, blocks=2):
+                          window, compute_dtype, blocks=2,
+                          out_dtype=jnp.float32):
     """sum over (g, m) of onehot(idx[g, m]) @ window_g @ w[g, m].
 
     feats_pad: [n_in + blocks*window, C]; starts [G, nT]; idx tile-major
@@ -626,7 +671,7 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile,
 
         return window_gather_matmul_pallas(
             feats_pad, starts, idx, w_perm.astype(compute_dtype),
-            tile, window, compute_dtype, blocks,
+            tile, window, compute_dtype, blocks, out_dtype=out_dtype,
         )
     g_count, nt = starts.shape
     m = idx.shape[2]
@@ -665,7 +710,7 @@ def _window_gather_matmul(feats_pad, starts, idx, w_perm, tile,
         jnp.zeros((n_out, cout), jnp.float32),
         (starts, idx, w_perm),
     )
-    return acc
+    return acc.astype(out_dtype)
 
 
 def _window_dw(feats_pad, starts, idx, g_out, tile, window,
@@ -714,13 +759,17 @@ def _window_dw(feats_pad, starts, idx, g_out, tile, window,
     return d_w  # [G, M, C, Cout]
 
 
-def _esc_contrib(feats, esc_k, esc_i, esc_j, w_gm, n_out):
+def _esc_scatter(out, feats, esc_k, esc_i, esc_j, w_gm):
     """Escape-entry side path: out[esc_i] += feats[esc_j] @ w_gm[esc_k].
 
     Plain differentiable JAX (gather + one-hot weight select + scatter-add)
     over the fixed-size entry list — autodiff supplies exact d_feats /
     d_w cotangents for these pairs, complementing the window kernels'
-    custom VJP (which covers exactly the mutually-windowed pairs)."""
+    custom VJP (which covers exactly the mutually-windowed pairs).
+    Scatters INTO the kernel output (in its dtype) instead of building a
+    dense f32 zeros array + add: the old form cost a full [N, Cout] f32
+    materialization + pass per escape-capable conv (trace: ~0.36 ms each
+    at [65536, 96])."""
     valid = esc_j >= 0
     gf = jnp.where(
         valid[:, None], feats[jnp.clip(esc_j, 0)], 0
@@ -733,9 +782,9 @@ def _esc_contrib(feats, esc_k, esc_i, esc_j, w_gm, n_out):
         "ek,ec,kcd->ed", oh, gf, w_gm,
         preferred_element_type=jnp.float32,
     )
-    out = jnp.zeros((n_out, w_gm.shape[-1]), jnp.float32)
     return out.at[jnp.clip(esc_i, 0)].add(
-        jnp.where(valid[:, None], contrib, 0.0), mode="drop"
+        jnp.where(valid[:, None], contrib, 0.0).astype(out.dtype),
+        mode="drop",
     )
 
 
@@ -745,7 +794,7 @@ def _window_conv_core(feats_pad, starts, idx, inv_starts, inv_idx,
                       inv_blocks, w_perm):
     return _window_gather_matmul(
         feats_pad, starts, idx, w_perm, tile, window, compute_dtype,
-        blocks,
+        blocks, out_dtype=compute_dtype,
     )
 
 
@@ -753,7 +802,7 @@ def _core_fwd(feats_pad, starts, idx, inv_starts, inv_idx, tile, inv_tile,
               window, compute_dtype, blocks, inv_blocks, w_perm):
     out = _window_gather_matmul(
         feats_pad, starts, idx, w_perm, tile, window, compute_dtype,
-        blocks,
+        blocks, out_dtype=compute_dtype,
     )
     return out, (feats_pad, starts, idx, inv_starts, inv_idx, w_perm)
 
@@ -786,7 +835,7 @@ def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
     else:
         d_in = _window_gather_matmul(
             g_pad, inv_starts, inv_idx, w_t, inv_tile, window,
-            compute_dtype, inv_blocks,
+            compute_dtype, inv_blocks, out_dtype=compute_dtype,
         )[:n_in]
         d_w = _window_dw(
             feats_pad, starts, idx, gc, tile, window,
@@ -799,6 +848,41 @@ def _core_bwd(tile, inv_tile, window, compute_dtype, blocks, inv_blocks,
 
 
 _window_conv_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _window_conv_core_dw_only(feats_pad, starts, idx, tile, window,
+                              compute_dtype, blocks, w_perm):
+    return _window_gather_matmul(
+        feats_pad, starts, idx, w_perm, tile, window, compute_dtype,
+        blocks, out_dtype=compute_dtype,
+    )
+
+
+def _core_dw_fwd(feats_pad, starts, idx, tile, window, compute_dtype,
+                 blocks, w_perm):
+    out = _window_gather_matmul(
+        feats_pad, starts, idx, w_perm, tile, window, compute_dtype,
+        blocks, out_dtype=compute_dtype,
+    )
+    return out, (feats_pad, starts, idx, w_perm)
+
+
+def _core_dw_bwd(tile, window, compute_dtype, blocks, res, g):
+    (feats_pad, starts, idx, w_perm) = res
+    d_w = _window_dw(
+        feats_pad, starts, idx, g.astype(compute_dtype), tile, window,
+        compute_dtype, blocks,
+    )
+    # the caller DECLARED the input non-differentiated (input_grad=False:
+    # first-layer convs whose input is the data batch) — d_feats is a
+    # zeros cotangent, and the whole d_feats window sweep (the fused
+    # backward's expensive half; ~half the stem conv's bwd time at
+    # [65536, 27]) never runs
+    return jnp.zeros_like(feats_pad), None, None, d_w.astype(w_perm.dtype)
+
+
+_window_conv_core_dw_only.defvjp(_core_dw_fwd, _core_dw_bwd)
 
 
 def block_live_spec(
@@ -863,46 +947,51 @@ def window_conv_apply_blocksparse(
         out = window_gather_matmul_pallas_bs(
             feats_pad, plan.starts, plan.idx, w, plan.tile, plan.window,
             compute_dtype, plan.blocks, block, live,
+            out_dtype=compute_dtype,
         )
     else:
         out = _window_gather_matmul(
             feats_pad, plan.starts, plan.idx, w, plan.tile, plan.window,
-            compute_dtype, plan.blocks,
+            compute_dtype, plan.blocks, out_dtype=compute_dtype,
         )
     if plan.esc_k is not None:
-        out = out + _esc_contrib(
-            feats.astype(compute_dtype), plan.esc_k, plan.esc_i,
-            plan.esc_j, w.reshape(g_count * m, cin, -1), out.shape[0],
+        out = _esc_scatter(
+            out, feats.astype(compute_dtype), plan.esc_k, plan.esc_i,
+            plan.esc_j, w.reshape(g_count * m, cin, -1),
         )
     if guard:
         out = out * jnp.where(
-            plan.n_escaped > 0, jnp.float32(jnp.nan), jnp.float32(1.0)
-        )
+            plan.n_escaped > 0, jnp.nan, 1.0
+        ).astype(out.dtype)
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
+        out = out + bias.astype(out.dtype)
     return out
 
 
 def window_conv_apply(
     feats: jax.Array,
     plan: WindowPlan,
-    inv_plan: WindowPlan,
+    inv_plan: WindowPlan | None,
     weights: jax.Array,
     bias: jax.Array | None = None,
     compute_dtype=jnp.float32,
     guard: bool = True,
+    input_grad: bool = True,
 ) -> jax.Array:
     """Sparse conv via windowed one-hot gathers (drop-in for
     ``sparse_conv_apply`` where both coordinate sets are key-sorted).
 
     ``plan``/``inv_plan`` come from ``build_plan`` over the forward and
     transpose kernel maps (CoordinateContext caches both). ``weights``
-    [K, Cin, Cout] in kernel-offset order. Returns [N_out, Cout] f32.
+    [K, Cin, Cout] in kernel-offset order. Returns [N_out, Cout] in
+    ``compute_dtype`` (f32 accumulation inside the kernels; one rounding
+    on store — bf16 production runs skip the old standalone cast pass).
     """
-    assert plan.window == inv_plan.window
-    # the backward pairs w[k] with inv rows by position: both plans must
-    # have been built with the same offsets array (same group permutation)
-    assert plan.perm == inv_plan.perm, (plan.perm, inv_plan.perm)
+    if input_grad:
+        assert plan.window == inv_plan.window
+        # the backward pairs w[k] with inv rows by position: both plans
+        # must have been built with the same offsets (same group perm)
+        assert plan.perm == inv_plan.perm, (plan.perm, inv_plan.perm)
     n_in, cin = feats.shape
     g_count, _, m, _ = plan.idx.shape
     feats_pad = jnp.concatenate(
@@ -914,21 +1003,31 @@ def window_conv_apply(
     )
     # the inverse plan's groups order offsets by the NEGATED offsets'
     # (dx, dy); pair weights by the inverse plan's own permutation
-    out = _window_conv_core(
-        feats_pad, plan.starts, plan.idx, inv_plan.starts, inv_plan.idx,
-        plan.tile, inv_plan.tile, plan.window, compute_dtype, plan.blocks,
-        inv_plan.blocks, w,
-    )
+    if input_grad:
+        out = _window_conv_core(
+            feats_pad, plan.starts, plan.idx, inv_plan.starts,
+            inv_plan.idx, plan.tile, inv_plan.tile, plan.window,
+            compute_dtype, plan.blocks, inv_plan.blocks, w,
+        )
+    else:
+        # input declared non-differentiated (first-layer convs on data):
+        # d_w-only backward, no inverse plan, no d_feats sweep
+        out = _window_conv_core_dw_only(
+            feats_pad, plan.starts, plan.idx, plan.tile, plan.window,
+            compute_dtype, plan.blocks, w,
+        )
     if plan.esc_k is not None:
-        out = out + _esc_contrib(
-            feats.astype(compute_dtype), plan.esc_k, plan.esc_i,
-            plan.esc_j, w.reshape(g_count * m, cin, -1), out.shape[0],
+        out = _esc_scatter(
+            out, feats.astype(compute_dtype), plan.esc_k, plan.esc_i,
+            plan.esc_j, w.reshape(g_count * m, cin, -1),
         )
     if guard:
         # fail loud on window escapes (cf. block-cap overflow poison):
         # a silent drop would train on truncated neighborhoods
-        bad = (plan.n_escaped > 0) | (inv_plan.n_escaped > 0)
-        out = out * jnp.where(bad, jnp.float32(jnp.nan), jnp.float32(1.0))
+        bad = plan.n_escaped > 0
+        if inv_plan is not None:
+            bad = bad | (inv_plan.n_escaped > 0)
+        out = out * jnp.where(bad, jnp.nan, 1.0).astype(out.dtype)
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
+        out = out + bias.astype(out.dtype)
     return out

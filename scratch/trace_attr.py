@@ -97,6 +97,7 @@ KNOBS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--raw", type=int, default=0)
     ap.add_argument("knobs", nargs="*", metavar="key=value")
     args = ap.parse_args()
     extra = [os.environ.get("NDT_PROBE_BINDINGS", "")]
@@ -153,6 +154,46 @@ def main():
                 f"{name[:48]:<48} {ms / bench.ITERS:>8.2f} "
                 f"{ms / total_ops:>6.1%}"
             )
+        # category rollup (the while wrapper double-counts its body; skip)
+        cats = defaultdict(float)
+        for name, ms in ops.items():
+            if name.startswith("%while") or name.startswith("while"):
+                continue
+            if "tpu_custom_call" in name or "window_" in name:
+                key = "custom_call (Mosaic kernels)"
+            elif name.startswith("%fusion") or name.startswith("fusion"):
+                mshape = re.search(r"= ([a-z0-9]+)\[([0-9,]*)\]", name)
+                key = (
+                    f"fusion {mshape.group(1)}[{mshape.group(2)}]"
+                    if mshape else "fusion other"
+                )
+                # bucket by rank only: 1-D vs 2-D large vs small
+                if mshape:
+                    dims = [int(d) for d in mshape.group(2).split(",") if d]
+                    n_el = int(np.prod(dims)) if dims else 0
+                    key = (
+                        f"fusion {len(dims)}D "
+                        f"{'big' if n_el >= 1 << 20 else 'small'} "
+                        f"{mshape.group(1)}"
+                    )
+            elif ".copy" in name or "copy" in name.split(" = ")[0]:
+                key = "copy"
+            elif "sort" in name:
+                key = "sort"
+            elif "dynamic-update-slice" in name or "dynamic-slice" in name:
+                key = "dynamic-slice/update"
+            else:
+                key = "other " + name.split(" = ")[0].split(".")[0]
+            cats[key] += ms
+        print("\n-- category rollup (ms/step) --")
+        for k, ms in sorted(cats.items(), key=lambda x: -x[1])[:20]:
+            print(f"{k:<44} {ms / bench.ITERS:>8.2f}")
+        if args.raw:
+            print("\n-- raw top ops --")
+            for name, ms in sorted(
+                ops.items(), key=lambda x: -x[1]
+            )[: args.raw]:
+                print(f"{ms / bench.ITERS:8.2f}  {name[:200]}")
     finally:
         shutil.rmtree(logdir, ignore_errors=True)
 

@@ -464,19 +464,27 @@ def test_match_pallas_interpret_matches_xla(rng, monkeypatch):
         hi, lo = packing.pack(sv.coords, sv.mask)
         o = -offs if transpose else offs
         perm = list(plan.perm)
-        q_hi, q_lo = [], []
-        for i in perm:
-            d_hi, d_lo = packing.offset_delta(o[i])
-            qh, ql = packing.shift_keys(hi, lo, d_hi, d_lo, mask=sv.mask)
-            q_hi.append(qh)
-            q_lo.append(ql)
         g_count, nt, m, t = plan.idx.shape
-        n = nt * t
-        q_hi = jnp.stack(q_hi).reshape(g_count, m, n)
-        q_lo = jnp.stack(q_lo).reshape(g_count, m, n)
+
+        # the kernel shifts query keys in-register from static 64-bit
+        # delta words (int32 views) — build them the way the plan builder
+        # does and check bit-parity with shift_keys-based XLA matching
+        def i32(v):
+            v = int(v) & 0xFFFFFFFF
+            return v - (1 << 32) if v >= (1 << 31) else v
+
+        deltas_gm = []
+        for g in range(g_count):
+            row = []
+            for j in range(m):
+                d_hi, d_lo = packing.offset_delta(o[perm[g * m + j]])
+                d64 = ((d_hi << 32) + d_lo) & ((1 << 64) - 1)
+                row.append((i32(d64 >> 32), i32(d64)))
+            deltas_gm.append(tuple(row))
         with pltpu.force_tpu_interpret_mode():
             got = window_match_pallas(
-                hi, lo, q_hi, q_lo, plan.starts, plan.tile, plan.window
+                hi, lo, hi, lo, sv.mask, tuple(deltas_gm), plan.starts,
+                plan.tile, plan.window,
             )
         np.testing.assert_array_equal(np.asarray(got), np.asarray(plan.idx))
 
