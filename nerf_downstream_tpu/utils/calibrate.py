@@ -223,20 +223,41 @@ def calibrate(
     ``permutations`` random scene orders (shuffle robustness).
     """
     rng = np.random.default_rng(seed)
-    batches = [_apply_device_coord_transforms(b, seed) for b in batches]
     assert batches, "calibration needs at least one batch"
+    # Stochastic device-side coordinate transforms (the ED warp) draw a
+    # FRESH realization every training step; a single warped copy per
+    # batch measures a 1-sample tail and the derived escape caps
+    # undershoot at runtime (measured: calibrated L0 cap 2048 poisoned
+    # the bench whose hand cap is 8192). Sample several realizations per
+    # batch; the heavy-tail margin below covers the rest.
+    from nerf_downstream_tpu.data import device_transforms as DT
+    from nerf_downstream_tpu.data import transforms as T
+
+    warped = any(
+        n in T.COORD_AFFECTING for n in DT.configured_names()
+    )
+    warp_samples = 4 if warped else 1
+    batches = [
+        _apply_device_coord_transforms(b, seed + 1000 * r)
+        for b in batches
+        for r in range(warp_samples)
+    ]
     n_scenes = int(
         max(np.asarray(b["coordinates"])[:, 0].max() for b in batches)
     ) + 1
 
     variants = []
     adj = _adjacency_orders(n_scenes)
-    for b in batches:
+    for bi, b in enumerate(batches):
         variants.append(b)
-        # deterministic boundary coverage first (every ordered scene pair
-        # adjacent somewhere), then extra random orders on top
-        for order in adj:
-            variants.append(_permuted(b, order))
+        # deterministic boundary coverage (every ordered scene pair
+        # adjacent somewhere) on the first warp realization of each
+        # source batch; random orders on the rest — boundary geometry is
+        # order-driven, span geometry warp-driven, so the cross product
+        # need not be exhaustive
+        if bi % warp_samples == 0:
+            for order in adj:
+                variants.append(_permuted(b, order))
         for _ in range(permutations):
             variants.append(_permuted(b, rng.permutation(n_scenes)))
 
@@ -351,14 +372,33 @@ def calibrate(
     # can flag tiles whose true escaped-entry count is zero (uneven local
     # key density). Measured zero entries but nonzero candidate tiles ->
     # the level still needs the escape machinery to absorb the flags.
-    escape_cap = tuple(
-        pow2_cap(entries[s]) if (entries[s] or tiles[s]) else 0
+    # heavy-tail margin for stochastic warps: the measured max over
+    # warp_samples realizations still undersamples a training run's
+    # hundreds of draws — give every escaping level one extra pow2
+    # doubling, and a floor cap to levels that measured clean but sit
+    # below an escaping one (their spans ride the same warp tails; the
+    # scatter cost of a small cap is ~tens of microseconds)
+    warp_mult = 2 if warped else 1
+    escape_cap = list(
+        pow2_cap(entries[s]) * warp_mult
+        if (entries[s] or tiles[s]) else 0
         for s in STRIDES
     )
-    escape_tiles = tuple(
-        max(4, int(np.ceil(tiles[s] * slack)) + 2) if escape_cap[i] else 4
+    escape_tiles = list(
+        max(4, int(np.ceil(tiles[s] * slack * warp_mult)) + 2)
+        if escape_cap[i] else 4
         for i, s in enumerate(STRIDES)
     )
+    if warped and any(escape_cap):
+        deepest = max(i for i, c in enumerate(escape_cap) if c)
+        for i in range(deepest + 1, len(escape_cap)):
+            # stride-16 levels fit entirely in one coverage: escapes are
+            # structurally impossible, keep 0 there
+            if max_rows[STRIDES[i]] > chosen * window:
+                escape_cap[i] = 256
+                escape_tiles[i] = max(escape_tiles[i], 4)
+    escape_cap = tuple(escape_cap)
+    escape_tiles = tuple(escape_tiles)
     knobs = {
         "level_caps": level_caps,
         "window_tile": tile,
